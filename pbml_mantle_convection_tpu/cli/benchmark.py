@@ -1,0 +1,101 @@
+"""Benchmark CLI: surrogate inference latency + coupled rollout throughput.
+
+The inference harness mirrors the reference's timing loop (mean over 500
+no-grad forward passes, batch 1 — load_fluidnet.ipynb cell 7); the rollout
+benchmark is the repo-root ``bench.py`` headline metric, callable here at
+any grid size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="benchmarks")
+    p.add_argument("--what", choices=["inference", "rollout"],
+                   default="inference")
+    p.add_argument("-net", "--network", type=str, default="newfluidnet")
+    p.add_argument("-l", "--levels", type=int, default=5)
+    p.add_argument("-f", "--c_h", type=int, default=16)
+    p.add_argument("-r", "--repeats", type=int, default=6)
+    p.add_argument("-k", "--kernel", type=int, default=5)
+    p.add_argument("-pad", "--r_p", type=str, default="learned")
+    p.add_argument("--H", type=int, default=128)
+    p.add_argument("--W", type=int, default=506)
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--dtype", type=str, default="float32")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.registry import ModelConfig, build_model
+
+    dtype = jnp.dtype(args.dtype)
+    mc = ModelConfig(network=args.network, levels=args.levels,
+                     c_h=args.c_h, repeats=args.repeats, kernel=args.kernel,
+                     r_p=args.r_p, loss_type="curl", p_pred=False,
+                     H=args.H, W=args.W, dtype=dtype)
+    model = build_model(mc)
+    c_i, _ = mc.channels
+    if "transolver" in args.network:
+        x = jnp.zeros((1, args.H * args.W, c_i), dtype)
+    else:
+        x = jnp.zeros((1, args.H, args.W, c_i), dtype)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    if args.what == "inference":
+        fwd = jax.jit(lambda p, x: model.apply(p, x))
+        out = fwd(params, x)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd(params, x)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(json.dumps({
+            "metric": f"inference_latency_{args.network}_"
+                      f"{args.H}x{args.W}",
+            "value": round(ms, 4), "unit": "ms",
+            "iters": args.iters}))
+        return ms
+
+    # rollout: reuse the repo-root bench machinery at this grid size
+    from ..constants import SimParams
+    from ..sim.engine import SimEngine
+    from ..sim.grid import Grid
+    from ..sim.stepper import TimeStepper
+
+    grid = Grid(H=args.H, W=args.W,
+                aspect=(args.W - 2) / (args.H - 2), dtype=str(dtype))
+    pp = SimParams(3.0, 1e8, 10.0)
+    stepper = TimeStepper(grid=grid, params=pp,
+                          apply_fn=lambda xx: model.apply(params, xx),
+                          cn_max=0.99, dtype=dtype)
+    engine = SimEngine(grid=grid, params=pp, stepper=stepper, dtype=dtype)
+    T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
+                  0, 1).astype(dtype)[None]
+    state = engine.init_state(T0)
+    multi = jax.jit(engine.multi_step, static_argnums=1)
+    state, _ = multi(state, 10)
+    jax.block_until_ready(state.T)
+    t0 = time.perf_counter()
+    state, _ = multi(state, args.steps)
+    jax.block_until_ready(state.T)
+    sps = args.steps / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"rollout_steps_per_s_{args.H}x{args.W}",
+        "value": round(sps, 2), "unit": "steps/s"}))
+    return sps
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""Datasets: device-resident snapshot stores with on-device batch assembly.
+
+TPU-native redesign of the reference's data layer (datasetio.py). The
+reference assembles 7-11 channel inputs per sample on the CPU inside
+``__getitem__`` (datasetio.py:595-654) — a known bottleneck. Here snapshots
+live as compact arrays (T, u, v[, p], params) and the channel assembly is a
+vmapped, jitted gather on device, so the input pipeline never leaves HBM.
+
+Two dataset flavours, mirroring the reference:
+* :class:`SnapshotDataset` — single-snapshot → (7ch x, uv[p] y, t_weight,
+  scaler); reference ``NewADDataset`` (datasetio.py:320-654).
+* :class:`TimePairDataset` — (t, t+roll_forward) pairs for U-Net time
+  stepping, incl. the every-8th-index random init-pair remap quirk
+  (datasetio.py:229-236); reference ``ADTimeDataset`` (datasetio.py:63-280).
+
+Loading the reference's on-disk ``.pt`` layout is in data/torch_io.py;
+synthetic stores for tests/benchmarks are in data/synthetic.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    COORD_SCALE, T_WEIGHT_NUM, T_WEIGHT_POW, nondim_fkp, nondim_fkt,
+    nondim_raq, velocity_scaler, visc_feature)
+from ..physics.viscosity import fk_viscosity
+
+
+@dataclasses.dataclass
+class SnapshotStore:
+    """Compact per-snapshot arrays for one or more simulations.
+
+    All arrays are stacked over the snapshot axis N:
+      T, u, v: (N, H, W); p: (N, H, W) or None;
+      paras: (N, 3) = (raq, fkt, fkp); step_index: (N,) the snapshot's
+      time-step index i (used for the 6/(i+1)^0.25 weight,
+      datasetio.py:472); sim_id: (N,) integer simulation id;
+      times: (N,) physical time of each snapshot.
+    xc, yc: (H, W) coordinates (boundary-clamped).
+    """
+
+    T: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    p: Optional[np.ndarray]
+    paras: np.ndarray
+    step_index: np.ndarray
+    sim_id: np.ndarray
+    times: np.ndarray
+    xc: np.ndarray
+    yc: np.ndarray
+
+    def __len__(self):
+        return self.T.shape[0]
+
+    @property
+    def paras_nd(self) -> np.ndarray:
+        raq, fkt, fkp = self.paras[:, 0], self.paras[:, 1], self.paras[:, 2]
+        return np.stack([nondim_raq(raq), nondim_fkt(fkt, np),
+                         nondim_fkp(fkp, np)], axis=1)
+
+    @property
+    def scaler(self) -> np.ndarray:
+        return velocity_scaler(self.paras[:, 0], self.paras[:, 1],
+                               self.paras[:, 2])
+
+
+def select_snapshot_indices(n_times: int, rng: np.random.Generator,
+                            is_init: bool = False) -> np.ndarray:
+    """The reference's snapshot-selection rule (datasetio.py:441-457 and
+    preprocess.ipynb): use steps 1..199 plus ≤500 random samples from the
+    tail when a run is long (>700 steps); ``is_init`` takes the first 5,
+    otherwise the rest."""
+    times = n_times - 2
+    if times > 200:
+        rest = list(range(200, times))
+    else:
+        rest = []
+    if times > 700:
+        rest = list(rng.choice(rest, size=min(500, rest[-1] - 200),
+                               replace=True))
+        i_vec = list(range(1, 200)) + rest
+    else:
+        i_vec = list(range(1, times))
+    return np.asarray(i_vec[:5] if is_init else i_vec[5:], dtype=np.int64)
+
+
+class SnapshotDataset:
+    """Single-snapshot dataset with device-side assembly
+    (reference ``NewADDataset``, datasetio.py:320-654)."""
+
+    def __init__(self, store: SnapshotStore, scale: bool = True,
+                 p_pred: bool = False, noise: float = 0.0,
+                 max_examples_percent_per_epoch: float = 100.0,
+                 dtype=jnp.float32):
+        self.store = store
+        self.scale = scale
+        self.p_pred = p_pred and store.p is not None
+        self.noise = noise
+        self.dtype = dtype
+        n = len(store)
+        self.num_examples = min(
+            int(n * max_examples_percent_per_epoch / 100.0), n)
+
+        d = dtype
+        self._T = jnp.asarray(store.T, d)
+        self._u = jnp.asarray(store.u, d)
+        self._v = jnp.asarray(store.v, d)
+        self._p = jnp.asarray(store.p, d) if self.p_pred else None
+        self._paras = jnp.asarray(store.paras, d)
+        self._paras_nd = jnp.asarray(store.paras_nd, d)
+        self._scaler = jnp.asarray(store.scaler, d)
+        self._steps = jnp.asarray(store.step_index, d)
+        self._xc = jnp.asarray(store.xc, d)
+        self._yc = jnp.asarray(store.yc, d)
+
+        self._assemble = jax.jit(self._assemble_batch)
+
+    def __len__(self):
+        return self.num_examples
+
+    def _assemble_batch(self, idx, noise_key):
+        """Gather + assemble (x, y, t_weight, scaler) for integer indices
+        idx: (B,). Runs on device (datasetio.py:595-654 semantics)."""
+        T = self._T[idx]
+        u = self._u[idx]
+        v = self._v[idx]
+        paras = self._paras[idx]
+        paras_nd = self._paras_nd[idx]
+        scaler = self._scaler[idx]
+        steps = self._steps[idx]
+
+        if self.noise > 0:
+            # uniform(-1e-5, 1e-5) on the [2:-2, 2:-2] interior, clipped to
+            # [0, 1.35] (datasetio.py:604-613)
+            n = jax.random.uniform(
+                noise_key, T[:, 2:-2, 2:-2].shape, T.dtype, -1e-5, 1e-5)
+            T = T.at[:, 2:-2, 2:-2].set(
+                jnp.clip(T[:, 2:-2, 2:-2] + n, 0.0, 1.35))
+
+        V = fk_viscosity(paras[:, 1][:, None, None],
+                         paras[:, 2][:, None, None],
+                         1.0 - self._yc[None], T)
+        V = jnp.clip(V, 1e-8, 1.0)
+
+        b = T.shape[0]
+        xc = jnp.broadcast_to(self._xc / COORD_SCALE, T.shape)
+        yc = jnp.broadcast_to(self._yc / COORD_SCALE, T.shape)
+
+        def plane(c):
+            return jnp.broadcast_to(c[:, None, None], T.shape)
+
+        x = jnp.stack([xc, yc, visc_feature(V), plane(paras_nd[:, 0]),
+                       plane(paras_nd[:, 1]), plane(paras_nd[:, 2]), T],
+                      axis=-1)
+
+        s = scaler[:, None, None] if self.scale else jnp.ones_like(
+            scaler)[:, None, None]
+        ys = [u / s, v / s]
+        if self.p_pred:
+            ys.append(self._p[idx])
+        y = jnp.stack(ys, axis=1)
+
+        t_weight = T_WEIGHT_NUM / (steps + 1.0) ** T_WEIGHT_POW
+        return {"x": x, "y": y, "t_weight": t_weight, "scaler": scaler}
+
+    def batch(self, rng: np.random.Generator, batch_size: int,
+              noise_key=None):
+        """Sample a random batch (host RNG for indices, device assembly)."""
+        idx = jnp.asarray(
+            rng.integers(0, self.num_examples, size=batch_size))
+        if noise_key is None:
+            noise_key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        return self._assemble(idx, noise_key)
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int,
+                      drop_last: bool = True):
+        """Shuffled epoch iterator (reference DataLoader shuffle=True,
+        multigpu.py:772-779)."""
+        perm = rng.permutation(self.num_examples)
+        n_full = len(perm) // batch_size
+        for i in range(n_full):
+            idx = jnp.asarray(perm[i * batch_size:(i + 1) * batch_size])
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            yield self._assemble(idx, key)
+        if not drop_last and len(perm) % batch_size:
+            idx = jnp.asarray(perm[n_full * batch_size:])
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            yield self._assemble(idx, key)
+
+
+class TimePairDataset:
+    """(t, t + roll_forward) pair dataset for the U-Net
+    (reference ``ADTimeDataset``, datasetio.py:63-280)."""
+
+    def __init__(self, store: SnapshotStore, roll_forward: int = 1,
+                 p_pred: bool = False, dtype=jnp.float32):
+        self.store = store
+        self.roll_forward = roll_forward
+        self.p_pred = p_pred and store.p is not None
+        self.dtype = dtype
+
+        # Build (idx0, idx1) pairs within each simulation
+        # (datasetio.py:189-201): consecutive-in-store snapshots of the
+        # same sim, roll_forward apart, skipping the last pairs.
+        pairs = []
+        init_pairs = []
+        sim = store.sim_id
+        for s in np.unique(sim):
+            where = np.nonzero(sim == s)[0]
+            for j in range(len(where) - roll_forward - 1):
+                pairs.append((where[j], where[j + roll_forward]))
+                if j == 0:
+                    init_pairs.append((where[0], where[roll_forward]))
+        self.pairs = np.asarray(pairs, dtype=np.int64)
+        self.init_pairs = np.asarray(init_pairs, dtype=np.int64)
+
+        d = dtype
+        self._T = jnp.asarray(store.T, d)
+        self._u = jnp.asarray(store.u, d)
+        self._v = jnp.asarray(store.v, d)
+        self._p = jnp.asarray(store.p, d) if self.p_pred else None
+        self._paras = jnp.asarray(store.paras, d)
+        self._paras_nd = jnp.asarray(store.paras_nd, d)
+        self._scaler = jnp.asarray(store.scaler, d)
+        self._times = jnp.asarray(store.times, d)
+        self._xc = jnp.asarray(store.xc, d)
+        self._yc = jnp.asarray(store.yc, d)
+
+        self._assemble = jax.jit(self._assemble_batch)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _remap_init(self, pair_idx: np.ndarray,
+                    rng: np.random.Generator) -> np.ndarray:
+        """Every pair whose idx0 % 8 == 0 is replaced by a random init pair
+        (the reference's quirk, datasetio.py:233-236)."""
+        pairs = self.pairs[pair_idx].copy()
+        mask = pairs[:, 0] % 8 == 0
+        if mask.any() and len(self.init_pairs):
+            repl = self.init_pairs[
+                rng.integers(0, len(self.init_pairs), size=int(mask.sum()))]
+            pairs[mask] = repl
+        return pairs
+
+    def _assemble_batch(self, idx0, idx1):
+        T0 = self._T[idx0]
+        u0 = self._u[idx0]
+        v0 = self._v[idx0]
+        paras = self._paras[idx0]
+        paras_nd = self._paras_nd[idx0]
+        scaler = self._scaler[idx0][:, None, None]
+        dt = (self._times[idx1] - self._times[idx0])[:, None, None]
+
+        V = fk_viscosity(paras[:, 1][:, None, None],
+                         paras[:, 2][:, None, None],
+                         1.0 - self._yc[None], T0)
+        Vf = visc_feature(V)
+
+        xc = jnp.broadcast_to(self._xc / COORD_SCALE, T0.shape)
+        yc = jnp.broadcast_to(self._yc / COORD_SCALE, T0.shape)
+
+        def plane(c):
+            return jnp.broadcast_to(c[:, None, None], T0.shape)
+
+        chans = [xc, yc, jnp.broadcast_to(dt, T0.shape),
+                 plane(paras_nd[:, 0]), plane(paras_nd[:, 1]),
+                 plane(paras_nd[:, 2]), Vf, T0, u0 / scaler, v0 / scaler]
+        x = jnp.stack(chans, axis=-1)
+
+        ys = [self._u[idx1] / scaler, self._v[idx1] / scaler]
+        if self.p_pred:
+            ys.append(self._p[idx1])
+        ys.append(self._T[idx1])
+        y = jnp.stack(ys, axis=1)
+
+        return {"x": x, "y": y, "scaler": scaler[:, 0, 0],
+                "paras": paras,
+                "yc": jnp.broadcast_to(self._yc[None], T0.shape)}
+
+    def batch(self, rng: np.random.Generator, batch_size: int):
+        pair_idx = rng.integers(0, len(self.pairs), size=batch_size)
+        pairs = self._remap_init(pair_idx, rng)
+        return self._assemble(jnp.asarray(pairs[:, 0]),
+                              jnp.asarray(pairs[:, 1]))
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size: int):
+        perm = rng.permutation(len(self.pairs))
+        for i in range(len(perm) // batch_size):
+            pairs = self._remap_init(
+                perm[i * batch_size:(i + 1) * batch_size], rng)
+            yield self._assemble(jnp.asarray(pairs[:, 0]),
+                                 jnp.asarray(pairs[:, 1]))

@@ -120,14 +120,12 @@ def avg_pool_nhwc(x, factor: int):
 
     Matches ``nn.AvgPool2d((f, f), stride=f)``
     (pytorch_networks_convae.py:1225): trailing rows/cols that do not fill a
-    full window are dropped.
+    full window are dropped. Implemented as a reshape-mean — free layout
+    change + one fused VPU reduction, and cleanly differentiable (XLA's
+    reduce_window lacks a linearization rule here).
     """
-    out = lax.reduce_window(
-        x,
-        jnp.array(0.0, dtype=x.dtype),
-        lax.add,
-        window_dimensions=(1, factor, factor, 1),
-        window_strides=(1, factor, factor, 1),
-        padding="VALID",
-    )
-    return out / (factor * factor)
+    B, H, W, C = x.shape
+    h, w = H // factor, W // factor
+    x = x[:, : h * factor, : w * factor, :]
+    x = x.reshape(B, h, factor, w, factor, C)
+    return jnp.mean(x, axis=(2, 4))

@@ -1,0 +1,175 @@
+"""Coupled-rollout drivers: pure-JAX (fast path) and native-engine-coupled.
+
+Framework equivalents of the reference's ``attempt()`` /
+``attempt_unet()`` loops (advect_wi_gaia.py:538-833). Two execution
+strategies:
+
+* :func:`rollout_jax` — the TPU path: the whole coupled loop is
+  ``SimEngine.rollout`` (one ``lax.scan`` per snapshot chunk), with the
+  reference's periodic pickle snapshots written between chunks.
+* :func:`rollout_native` — the verification path: drives the native C++
+  engine (sim/gaia_native.py) step by step with surrogate velocities,
+  reproducing the reference's per-step host exchange
+  (advect_wi_gaia.py:583-677) including the ``intervene_TS``
+  (MMSolverSkip) logic and warm-up steps.
+
+Both record T_vec / t_vec / TS_vec and snapshot dictionaries in the
+reference's pickle layout (advect_wi_gaia.py:654-668).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.checkpoint import save_pickle
+from .engine import SimEngine
+from .grid import Grid
+from .stepper import TimeStepper
+
+
+def _dump(gaia_dir, mode, snapshots, TS_vec, t_vec, T_vec):
+    save_pickle(os.path.join(gaia_dir, f"snapshots_{mode}.pkl"), snapshots)
+    save_pickle(os.path.join(gaia_dir, f"TS_vec_{mode}.pkl"), TS_vec)
+    save_pickle(os.path.join(gaia_dir, f"t_vec_{mode}.pkl"), t_vec)
+    save_pickle(os.path.join(gaia_dir, f"T_vec_{mode}.pkl"), T_vec)
+
+
+def rollout_jax(
+    engine: SimEngine,
+    T0,
+    n_steps: int,
+    gaia_dir: Optional[str] = None,
+    mode: str = "ML_STOKES",
+    snapshot_every: int = 200,
+):
+    """Fully-on-device rollout with reference-format outputs."""
+    state = engine.init_state(T0)
+    t_wall0 = time.time()
+    state, trace, snaps = engine.rollout(state, n_steps,
+                                         snapshot_every=snapshot_every)
+    wall = time.time() - t_wall0
+
+    T_vec = list(np.asarray(trace.mean_T))
+    t_vec = list(np.asarray(trace.t))
+    TS_vec = [wall / n_steps] * n_steps  # per-step wall time (amortized)
+
+    snapshots = {"v": [], "P": [], "T": [],
+                 "xcc": np.asarray(engine.grid.xc),
+                 "ycc": np.asarray(engine.grid.yc)}
+    for s in snaps:
+        u = np.asarray(s["u"]).reshape(-1, 1)
+        v = np.asarray(s["v"]).reshape(-1, 1)
+        snapshots["v"].append(
+            np.concatenate([u, v, np.zeros_like(u)], axis=1))
+        snapshots["P"].append(np.asarray(s["p"]).reshape(-1))
+        snapshots["T"].append(np.asarray(s["T"]).reshape(-1))
+
+    if gaia_dir is not None:
+        _dump(gaia_dir, mode, snapshots, TS_vec, t_vec, T_vec)
+    return state, trace, snapshots
+
+
+def rollout_native(
+    sim,                       # gaia_native.Direct (already init2'd)
+    stepper: Optional[TimeStepper],
+    mode: str = "ML_STOKES",
+    t_end: float = 10.0,
+    intervene_ts: int = 1,
+    warm_up_steps: int = 0,
+    save_steps: int = 200,
+    write_steps: int = 200,
+    gaia_dir: Optional[str] = None,
+    core_cool: bool = False,
+    p_pred: bool = False,
+    max_steps: Optional[int] = None,
+):
+    """The reference ``attempt()`` loop against the native engine
+    (advect_wi_gaia.py:538-679). ``stepper`` supplies surrogate velocities
+    for the ML modes; ``mode='GAIA'`` steps the native engine alone.
+    """
+    H, W = sim.shape
+    state = sim.getState()
+    save_every = t_end / save_steps
+    write_every = t_end / write_steps
+
+    T_vec = [float(np.copy(state["T"].mean()))]
+    t_vec = [0.0]
+    TS_vec = []
+    snapshots = {"v": [], "P": [], "T": []}
+
+    t = 0.0
+    n_step = 0
+    while n_step < warm_up_steps:
+        n_step += 1
+        sim.doTimestep()
+
+    for var in ["v", "P", "T"]:
+        snapshots[var].append(np.copy(state[var]))
+    snapshots["xcc"] = np.copy(state["pos"][:, 0]).reshape(H, W)
+    snapshots["ycc"] = np.copy(state["pos"][:, 1]).reshape(H, W)
+
+    ml_step = None
+    if stepper is not None:
+        # jitted: T (1,H,W) -> (T_new, dt, u, v, p, V)
+        ml_step = jax.jit(lambda T: stepper.step(T))
+
+    save_t = 0.0
+    write_t = 0.0
+    while t < t_end:
+        if max_steps is not None and n_step >= warm_up_steps + max_steps:
+            break
+        n_step += 1
+        t0 = time.time()
+
+        if mode != "GAIA":
+            Tp = jnp.asarray(state["T"], stepper.dtype).reshape(1, H, W)
+            T_new, dt_ml, u, v, p, V = ml_step(Tp)
+            u = np.asarray(u)
+            v = np.asarray(v)
+            state["v"][:, 0] = u.reshape(-1)
+            state["v"][:, 1] = v.reshape(-1)
+            state["v"][:, 2] = 0.0
+            if p_pred and p is not None:
+                state["P"][:] = np.asarray(p).reshape(-1)
+            state["V"][:] = np.asarray(V).reshape(-1)
+
+            if mode != "ML" or n_step % intervene_ts == 0:
+                # native energy step (the GAIA intervention)
+                dt = sim.doTimestep()
+                Tg = state["T"].reshape(H, W)
+                if not core_cool:
+                    Tg[0, :] = 1.0
+                Tg[-1, :] = 0.0
+                Tg[:, 0] = Tg[:, 1]
+                Tg[:, -1] = Tg[:, -2]
+                np.clip(Tg, 0.0, 2.0, out=Tg)
+            else:
+                # ML off-step: the explicit AD update from the stepper
+                state["T"][:] = np.asarray(T_new).reshape(-1)
+                dt = float(dt_ml)
+            state["raw"].time = t
+        else:
+            dt = sim.doTimestep()
+
+        t += float(dt)
+        T_vec.append(float(np.copy(state["T"].mean())))
+        t_vec.append(t)
+        TS_vec.append(time.time() - t0)
+
+        if t > save_t:
+            save_t = t + save_every
+            for var in ["v", "P", "T"]:
+                snapshots[var].append(np.copy(state[var]))
+        if gaia_dir is not None and t > write_t:
+            write_t = t + write_every
+            _dump(gaia_dir, mode, snapshots, TS_vec, t_vec, T_vec)
+
+    if gaia_dir is not None:
+        _dump(gaia_dir, mode, snapshots, TS_vec, t_vec, T_vec)
+    return t, n_step, snapshots, T_vec, t_vec, TS_vec

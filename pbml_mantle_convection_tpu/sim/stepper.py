@@ -1,0 +1,192 @@
+"""TS — the coupled surrogate time-stepper.
+
+TPU-native redesign of the reference ``TS`` eval wrapper
+(pytorch_networks_convae.py:266-475): per step it computes the FK viscosity
+from the current temperature, assembles the surrogate input channels, runs
+the Stokes surrogate, unscales the velocities, and (optionally) advances
+the temperature with the explicit advection–diffusion solver.
+
+Everything here is a pure function so the whole coupled step jits and scans;
+the reference's per-step host↔device and Python↔C++ boundaries
+(advect_wi_gaia.py:595-637) disappear.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..constants import (
+    COORD_SCALE, SimParams, velocity_scaler, visc_feature)
+from ..ops.stencils import stamp_temperature_bc
+from ..physics.advection import GridMetrics, advect_diffuse_step
+from ..physics.viscosity import fk_viscosity
+from .grid import Grid
+
+
+class StaticFields(NamedTuple):
+    """Per-grid constant feature planes, hoisted out of the scan."""
+
+    xc_feat: jnp.ndarray   # xc / 4
+    yc_feat: jnp.ndarray   # yc / 4
+    raq_nd: jnp.ndarray    # broadcast plane
+    fkt_nd: jnp.ndarray
+    fkp_nd: jnp.ndarray
+
+
+def make_static_fields(grid: Grid, params: SimParams, dtype=jnp.float32
+                       ) -> StaticFields:
+    xc = grid.xc.astype(dtype)
+    yc = grid.yc.astype(dtype)
+    shape = xc.shape
+    return StaticFields(
+        xc_feat=xc / COORD_SCALE,
+        yc_feat=yc / COORD_SCALE,
+        raq_nd=jnp.full(shape, params.raq_nd, dtype=dtype),
+        fkt_nd=jnp.full(shape, params.fkt_nd, dtype=dtype),
+        fkp_nd=jnp.full(shape, params.fkp_nd, dtype=dtype),
+    )
+
+
+def assemble_fluidnet_input(T, static: StaticFields, params: SimParams):
+    """7-channel NHWC input (xc/4, yc/4, log10(V)/8, raq_nd, fkt_nd,
+    fkp_nd, T) — reference: pytorch_networks_convae.py:388-407.
+
+    T: (B, H, W). Returns (B, H, W, 7) and the viscosity field V (clipped).
+    """
+    yc = static.yc_feat * COORD_SCALE
+    V = jnp.clip(
+        fk_viscosity(jnp.asarray(params.fkt, T.dtype),
+                     jnp.asarray(params.fkp, T.dtype),
+                     1.0 - yc, T),
+        1e-8, 1.0)
+    b = T.shape[0]
+
+    def bcast(p):
+        return jnp.broadcast_to(p, (b,) + p.shape)
+
+    x = jnp.stack(
+        [bcast(static.xc_feat), bcast(static.yc_feat), visc_feature(V),
+         bcast(static.raq_nd), bcast(static.fkt_nd), bcast(static.fkp_nd),
+         T],
+        axis=-1,
+    )
+    return x, V
+
+
+def assemble_unet_input(T, u_prev, v_prev, dt, static: StaticFields,
+                        params: SimParams):
+    """10/11-channel NHWC U-Net input (xc/4, yc/4, dt, raq_nd, fkt_nd,
+    fkp_nd, log10(V)/8, T, u_prev, v_prev) — reference:
+    pytorch_networks_convae.py:419-441, datasetio.py:258-274."""
+    yc = static.yc_feat * COORD_SCALE
+    V = fk_viscosity(jnp.asarray(params.fkt, T.dtype),
+                     jnp.asarray(params.fkp, T.dtype), 1.0 - yc, T)
+    Vf = visc_feature(V)
+    b = T.shape[0]
+
+    def bcast(p):
+        return jnp.broadcast_to(p, (b,) + p.shape)
+
+    dt_plane = jnp.broadcast_to(jnp.asarray(dt, T.dtype), T.shape)
+    x = jnp.stack(
+        [bcast(static.xc_feat), bcast(static.yc_feat), dt_plane,
+         bcast(static.raq_nd), bcast(static.fkt_nd), bcast(static.fkp_nd),
+         Vf, T, u_prev, v_prev],
+        axis=-1,
+    )
+    return x, V
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeStepper:
+    """Coupled Stokes-surrogate + advection step (the reference ``TS``).
+
+    apply_fn: (x_nhwc) -> (u, v, p|None) for fluidnet nets, or
+              (x_nhwc) -> (u, v, p|None, T) for the unet.
+    """
+
+    grid: Grid
+    params: SimParams
+    apply_fn: Callable[..., Any]
+    net: str = "newfluidnet"
+    advect: bool = True           # run the AD temperature update (mode "ML")
+    cn_max: float = 0.99
+    core_cool: bool = False
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        object.__setattr__(self, "_static",
+                           make_static_fields(self.grid, self.params,
+                                              self.dtype))
+        xc = self.grid.xc.astype(self.dtype)
+        yc = self.grid.yc.astype(self.dtype)
+        object.__setattr__(self, "_metrics",
+                           GridMetrics(
+                               dx_l=(xc[:, 1:-1] - xc[:, :-2])[1:-1, :],
+                               dx_r=(xc[:, 2:] - xc[:, 1:-1])[1:-1, :],
+                               dy_t=(yc[1:-1, :] - yc[:-2, :])[:, 1:-1],
+                               dy_b=(yc[2:, :] - yc[1:-1, :])[:, 1:-1]))
+
+    @property
+    def scaler(self):
+        return jnp.asarray(
+            velocity_scaler(self.params.raq, self.params.fkt,
+                            self.params.fkp), self.dtype)
+
+    def stokes(self, T):
+        """Surrogate Stokes solve from temperature: returns (u, v, p, V)
+        in physical (unscaled) units. Reference:
+        pytorch_networks_convae.py:377-417."""
+        x, V = assemble_fluidnet_input(T, self._static, self.params)
+        u, v, p = self.apply_fn(x)
+        s = self.scaler
+        u = u * s
+        v = v * s
+        return u, v, p, V
+
+    def step(self, T, dt=None):
+        """One coupled step for the fluidnet family: Stokes surrogate then
+        (optionally) the explicit AD temperature update with BC stamping.
+        Reference: pytorch_networks_convae.py:377-473.
+
+        Returns (T_new, dt, u, v, p, V).
+        """
+        u, v, p, V = self.stokes(T)
+        if not self.advect:
+            return T, jnp.asarray(0.0, T.dtype), u, v, p, V
+        raq = jnp.asarray(self.params.raq, T.dtype)
+        T_new, dt = advect_diffuse_step(
+            u, v, T, raq, self._metrics, dt=dt, cn_max=self.cn_max,
+            core_cool=self.core_cool)
+        T_new = stamp_temperature_bc(T_new, core_cool=self.core_cool)
+        return T_new, dt, u, v, p, V
+
+    def unet_dt(self, u_prev, v_prev, cn_max: float = 100.0):
+        """Driver-level CFL dt of the U-Net rollout
+        (advect_wi_gaia.py:739-747). Velocities are *scaled* inputs."""
+        s = self.scaler
+        dx_min = 0.5 * self.grid.dy
+        uv_mag = jnp.maximum(jnp.max(jnp.abs(u_prev * s)),
+                             jnp.max(jnp.abs(v_prev * s)))
+        dt_advect = 0.5 * cn_max * dx_min / uv_mag
+        dt_diffuse = 0.5 * (dx_min * dx_min) ** 2 / (2.0 * dx_min**2)
+        return jnp.minimum(dt_advect, dt_diffuse)
+
+    def step_unet(self, T, u_prev, v_prev, dt):
+        """One coupled step for the U-Net: the network predicts both the
+        stream function and the new temperature. u_prev/v_prev are in
+        scaled units. Reference: pytorch_networks_convae.py:419-451,
+        advect_wi_gaia.py:734-797.
+
+        Returns (T_new, u, v, p, V) with u, v unscaled (physical).
+        """
+        x, V = assemble_unet_input(T, u_prev, v_prev, dt, self._static,
+                                   self.params)
+        u, v, p, T_new = self.apply_fn(x)
+        T_new = stamp_temperature_bc(T_new, core_cool=self.core_cool)
+        T_new = jnp.clip(T_new, 0.0, 2.0)
+        s = self.scaler
+        return T_new, u * s, v * s, p, V

@@ -1,0 +1,146 @@
+"""Jitted train steps: single-device and shard_map data-parallel.
+
+TPU-native replacement for the reference's DDP ``Trainer._run_batch``
+(multigpu.py:307-338): the loss/grad/update is one compiled function;
+data parallelism is a ``shard_map`` over a 1-D mesh with gradient ``pmean``
+(the NCCL all-reduce of multigpu.py:319 becomes an ICI collective).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import visc_feature
+from ..physics.viscosity import fk_viscosity
+from .losses import LossBreakdown, fluidnet_loss, unet_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    net: str = "newfluidnet"          # "fluidnet"-family | "unet" | "convae"
+    p_pred: bool = False
+    loss_scale: bool = True
+    loss_derivative: bool = False
+    loss_type: str = "curl"
+    roll_forward: int = 1
+
+
+def _fluidnet_loss_fn(apply_fn, cfg: TrainStepConfig):
+    def loss_fn(params, batch):
+        u, v, p = apply_fn(params, batch["x"])
+        br = fluidnet_loss(
+            u, v, p, batch["y"], p_pred=cfg.p_pred,
+            loss_scale=cfg.loss_scale,
+            loss_derivative=cfg.loss_derivative, loss_type=cfg.loss_type)
+        return br.total, br
+    return loss_fn
+
+
+def _unet_reassemble(x, T, u, v, paras, yc, roll_forward):
+    """Re-assemble the 10/11-channel U-Net input from predictions, with
+    the viscosity recomputed from the (detached) predicted temperature
+    (multigpu.py:208-232). x channel order:
+    (xc/4, yc/4, dt, raq_nd, fkt_nd, fkp_nd, V, T, u, v[, p...])."""
+    T = jax.lax.stop_gradient(T)
+    V = fk_viscosity(paras[:, 1][:, None, None], paras[:, 2][:, None, None],
+                     1.0 - yc, T)
+    Vf = visc_feature(V)
+    dt = x[..., 2] / roll_forward
+    return jnp.stack(
+        [x[..., 0], x[..., 1], dt, x[..., 3], x[..., 4], x[..., 5],
+         Vf, T, u, v], axis=-1)
+
+
+def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
+    def loss_fn(params, batch):
+        x = batch["x"]
+        paras = batch["paras"]
+        yc = batch["yc"]
+        # roll_forward autoregressive unroll: (roll_forward - 1) stop-grad
+        # warm steps, one graded step (multigpu.py:207-251).
+        T = x[..., 7]
+        u = x[..., 8]
+        v = x[..., 9]
+        p = None
+        for r in range(cfg.roll_forward):
+            xi = _unet_reassemble(x, T, u, v, paras, yc, cfg.roll_forward)
+            if r < cfg.roll_forward - 1:
+                u, v, p, T = jax.lax.stop_gradient(
+                    apply_fn(params, xi))
+            else:
+                u, v, p, T = apply_fn(params, xi)
+        br = unet_loss(
+            u, v, p, T, batch["y"], p_pred=cfg.p_pred,
+            loss_scale=cfg.loss_scale,
+            loss_derivative=cfg.loss_derivative, loss_type=cfg.loss_type)
+        return br.total, br
+    return loss_fn
+
+
+def make_loss_fn(apply_fn: Callable, cfg: TrainStepConfig):
+    if cfg.net == "unet" or cfg.net == "iunet":
+        return _unet_loss_fn(apply_fn, cfg)
+    return _fluidnet_loss_fn(apply_fn, cfg)
+
+
+def make_train_step(
+    apply_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    cfg: TrainStepConfig,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+):
+    """Build ``train_step(params, opt_state, batch) -> (params, opt_state,
+    LossBreakdown)``. With ``mesh``, the step is a shard_map over the batch
+    axis with gradient pmean (DP over ICI)."""
+
+    loss_fn = make_loss_fn(apply_fn, cfg)
+
+    def _step(params, opt_state, batch):
+        (_, br), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            br = jax.lax.pmean(br, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, br
+
+    if mesh is None:
+        return jax.jit(_step)
+
+    rep = P()
+    batch_spec = P(axis_name)
+    step = shard_map(
+        _step, mesh=mesh,
+        in_specs=(rep, rep, batch_spec),
+        out_specs=(rep, rep, rep),
+    )
+    return jax.jit(step)
+
+
+def make_eval_step(apply_fn: Callable, cfg: TrainStepConfig,
+                   mesh: Optional[Mesh] = None, axis_name: str = "data"):
+    """CV-loss step (no grad) — the reference's no_grad cv loop
+    (multigpu.py:383-410)."""
+    loss_fn = make_loss_fn(apply_fn, cfg)
+
+    def _step(params, batch) -> LossBreakdown:
+        _, br = loss_fn(params, batch)
+        if mesh is not None:
+            br = jax.lax.pmean(br, axis_name)
+        return br
+
+    if mesh is None:
+        return jax.jit(_step)
+    step = shard_map(
+        _step, mesh=mesh, in_specs=(P(), P(axis_name)), out_specs=P())
+    return jax.jit(step)

@@ -1,0 +1,104 @@
+"""SimEngine rollout tests with a synthetic divergence-free surrogate."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbml_mantle_convection_tpu.constants import SimParams
+from pbml_mantle_convection_tpu.sim.engine import SimEngine, decay_heating
+from pbml_mantle_convection_tpu.sim.grid import Grid
+from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+
+
+def _analytic_surrogate(grid, amp=1.0):
+    """A fake Stokes apply_fn: one convection cell from a stream function
+    (divergence-free by construction), ignoring its input features."""
+    xc = grid.xc.astype(jnp.float64)
+    yc = grid.yc.astype(jnp.float64)
+    a = amp * jnp.sin(np.pi * yc) * jnp.sin(np.pi * xc / grid.aspect)
+    # u = da/dy, v = -da/dx
+    u = amp * np.pi * jnp.cos(np.pi * yc) * jnp.sin(np.pi * xc / grid.aspect)
+    v = -amp * (np.pi / grid.aspect) * jnp.sin(np.pi * yc) * jnp.cos(
+        np.pi * xc / grid.aspect)
+
+    def apply_fn(x):
+        b = x.shape[0]
+        return (jnp.broadcast_to(u, (b,) + u.shape),
+                jnp.broadcast_to(v, (b,) + v.shape), None)
+
+    return apply_fn
+
+
+def _make_engine(grid=None, **kw):
+    grid = grid or Grid(H=24, W=34)
+    params = SimParams(raq=2.0, fkt=1e7, fkp=3.0)
+    stepper = TimeStepper(
+        grid=grid, params=params, apply_fn=_analytic_surrogate(grid),
+        cn_max=0.99, dtype=jnp.float64,
+        core_cool=kw.get("core_cool", False))
+    return SimEngine(grid=grid, params=params, stepper=stepper,
+                     dtype=jnp.float64, **kw)
+
+
+def test_rollout_scan_runs_and_traces():
+    eng = _make_engine()
+    state = eng.init_state(1.0 - eng.grid.yc[None])
+    state, trace, snaps = eng.rollout(state, 50, snapshot_every=25)
+    assert trace.mean_T.shape == (50,)
+    assert len(snaps) == 2
+    assert np.all(np.isfinite(np.asarray(trace.mean_T)))
+    # time strictly increases
+    assert np.all(np.diff(np.asarray(trace.t)) > 0)
+    # BCs hold
+    T = np.asarray(state.T[0])
+    assert np.allclose(T[0], 1.0) and np.allclose(T[-1], 0.0)
+
+
+def test_rollout_heats_up_with_internal_heating():
+    eng = _make_engine()
+    state = eng.init_state(jnp.zeros((1, eng.grid.H, eng.grid.W)))
+    _, trace, _ = eng.rollout(state, 200)
+    m = np.asarray(trace.mean_T)
+    assert m[-1] > m[10]  # internal heating raises mean T
+
+
+def test_get_state_contract():
+    eng = _make_engine()
+    state = eng.init_state(1.0 - eng.grid.yc[None])
+    state = jax.jit(eng.step)(state)
+    d = eng.get_state(state)
+    N = eng.grid.H * eng.grid.W
+    assert d["T"].shape == (N,)
+    assert d["v"].shape == (N, 3)
+    assert d["pos"].shape == (N, 2)
+    assert set(d) >= {"T", "v", "P", "V", "pos", "time"}
+
+
+def test_decay_heating():
+    assert float(decay_heating(2.0, 0.0, False, jnp.float64)) == 2.0
+    # at t=0 the 4 coefficients sum to ~1
+    h0 = float(decay_heating(2.0, 0.0, True, jnp.float64))
+    np.testing.assert_allclose(h0, 2.0, rtol=2e-3)
+    # decays over time
+    h1 = float(decay_heating(2.0, 0.5, True, jnp.float64))
+    assert h1 < h0
+
+
+def test_core_cooling_lowers_bottom_temperature():
+    eng = _make_engine(core_cool=True)
+    state = eng.init_state(1.0 - eng.grid.yc[None])
+    state, trace, _ = eng.rollout(state, 300)
+    assert float(state.T_core) < 1.0
+    T = np.asarray(state.T[0])
+    np.testing.assert_allclose(T[0], float(state.T_core), atol=1e-12)
+
+
+def test_radioactive_decay_reduces_heating_rate():
+    e1 = _make_engine()
+    e2 = _make_engine(radioactive_decay=True)
+    s1 = e1.init_state(jnp.zeros((1, e1.grid.H, e1.grid.W)))
+    s2 = e2.init_state(jnp.zeros((1, e2.grid.H, e2.grid.W)))
+    _, t1, _ = e1.rollout(s1, 150)
+    _, t2, _ = e2.rollout(s2, 150)
+    # decay(t>0) < 1 ⇒ less heating accumulated
+    assert float(t2.mean_T[-1]) < float(t1.mean_T[-1])

@@ -1,0 +1,121 @@
+"""Native engine, ini generator, and profile-MLP tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pbml_mantle_convection_tpu.sim.ini import GaiaIniConfig, create_ini_file
+from pbml_mantle_convection_tpu.sim.profiles import calc_mlp_profile
+
+
+def test_profile_mlp_against_reference_semantics(tmp_path):
+    y_pred, y_prof = calc_mlp_profile([3.0], [1e8], [10.0], str(tmp_path))
+    assert y_pred.shape == (1, 128)
+    # boundary stamping
+    assert y_pred[0, 0] == 1.0 and y_pred[0, -1] == 0.0
+    # physically sensible: mean interior temperature within (0, 1.2)
+    assert 0.0 < y_pred[0, 1:-1].mean() < 1.2
+    # file written in "y   T" format
+    lines = open(os.path.join(tmp_path, "ml_prof.txt")).readlines()
+    assert len(lines) == 128
+    y0, t0 = lines[0].split()
+    assert float(y0) == 1.0
+
+
+def test_ini_round_trip_keys(tmp_path):
+    path = str(tmp_path / "Gaia.ini")
+    cfg = GaiaIniConfig(mode="ML_STOKES", raq=2.5, fkt=1e7, fkp=5.0,
+                        core_cool=True, radioactive_decay=True, Di=0.5,
+                        solver="iterative", urf=0.9)
+    create_ini_file(path, cfg)
+    txt = open(path).read()
+    assert "RaQ = 2.5" in txt
+    assert "FKViscosity/ViscT = 10000000.0" in txt
+    assert "MCEnergy = Boussinesq/Compress" in txt
+    assert "Core/Cooling, RadioactiveDecay" in txt
+    assert "urf_mm = 0.9" in txt
+    assert "MUMPS" not in txt
+    cfg2 = GaiaIniConfig(solver="mumps")
+    create_ini_file(path, cfg2)
+    assert "MMSolver = MUMPS" in open(path).read()
+
+
+class TestNativeEngine:
+    @pytest.fixture(scope="class")
+    def sim(self, tmp_path_factory):
+        try:
+            from pbml_mantle_convection_tpu.sim.gaia_native import Direct
+        except Exception as e:  # pragma: no cover - no compiler
+            pytest.skip(f"native build unavailable: {e}")
+        tmp = tmp_path_factory.mktemp("gaia")
+        ini = str(tmp / "Gaia.ini")
+        create_ini_file(ini, GaiaIniConfig(
+            mode="ML_STOKES", raq=2.0, fkt=1e7, fkp=3.0, layers=30,
+            aspect_ratio=2.0))
+        sim = Direct()
+        sim.init1()
+        sim.iniLoad("ini/default.ini")  # absent → ignored, like symlinked default
+        sim.iniLoad(ini)
+        sim.init2()
+        return sim
+
+    def test_state_contract(self, sim):
+        state = sim.getState()
+        H, W = sim.shape
+        assert (H, W) == (32, 62)
+        N = H * W
+        assert state["T"].shape == (N,)
+        assert state["v"].shape == (N, 3)
+        assert state["pos"].shape == (N, 2)
+        # grid clamped to [0, AR] × [0, 1]
+        assert state["pos"][:, 0].max() == 2.0
+        assert state["pos"][:, 1].max() == 1.0
+        # BCs stamped
+        T = state["T"].reshape(H, W)
+        assert np.allclose(T[0], 1.0) and np.allclose(T[-1], 0.0)
+
+    def test_timestep_and_state_mutation(self, sim):
+        state = sim.getState()
+        H, W = sim.shape
+        # write a velocity field through the zero-copy view, like the
+        # driver does (advect_wi_gaia.py:603-616)
+        rng = np.random.default_rng(0)
+        u = rng.normal(size=(H, W)) * 10
+        v = rng.normal(size=(H, W)) * 10
+        state["v"][:, 0] = u.reshape(-1)
+        state["v"][:, 1] = v.reshape(-1)
+        T_before = state["T"].copy()
+        dt = sim.doTimestep()
+        assert dt > 0
+        for _ in range(5):
+            sim.doTimestep()
+        assert np.abs(state["T"] - T_before).max() > 0
+        assert np.isfinite(state["T"]).all()
+        # time advanced; raw.time settable like the reference's driver
+        t = state["raw"].time
+        assert t > 0
+        state["raw"].time = 5.0
+        assert state["raw"].time == 5.0
+
+    def test_viscosity_is_fk(self, sim):
+        state = sim.getState()
+        H, W = sim.shape
+        T = state["T"].reshape(H, W)
+        y = state["pos"][:, 1].reshape(H, W)
+        eta = np.exp(np.log(1e7) * (0 - T) + np.log(3.0) * (1 - y))
+        np.testing.assert_allclose(state["V"].reshape(H, W), eta,
+                                   rtol=1e-10)
+
+    def test_pure_diffusion_stays_bounded(self, sim):
+        state = sim.getState()
+        state["v"][:] = 0.0
+        for _ in range(50):
+            sim.doTimestep()
+        T = state["T"]
+        assert np.isfinite(T).all()
+        assert T.min() >= 0.0 and T.max() <= 2.0
+        H, W = sim.shape
+        # Dirichlet plates hold under pure diffusion
+        Tg = T.reshape(H, W)
+        assert np.allclose(Tg[0], 1.0) and np.allclose(Tg[-1], 0.0)

@@ -1,0 +1,184 @@
+"""Numerical parity against the actual reference PyTorch models.
+
+These tests load the reference implementation from ``/root/reference``
+(read-only mount), build the same architecture there and here, convert the
+torch weights with utils/torch_convert, and require the forward passes to
+agree to float64 round-off. Skipped when the reference isn't mounted.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = os.environ.get("REFERENCE_DIR", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted")
+
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def torch_mods():
+    torch = pytest.importorskip("torch")
+    # The reference imports torchvision only for an optional GaussianBlur
+    # (pytorch_networks_convae.py:11); stub it when absent.
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        import types
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        v2 = types.ModuleType("torchvision.transforms.v2")
+        v2.GaussianBlur = None
+        tr.v2 = v2
+        tv.transforms = tr
+        sys.modules.setdefault("torchvision", tv)
+        sys.modules.setdefault("torchvision.transforms", tr)
+        sys.modules.setdefault("torchvision.transforms.v2", v2)
+    try:
+        import pytorch_networks_convae as ref
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference: {e}")
+    return torch, ref
+
+
+def _run_pair(torch, ref_model, our_model, our_params, x_np,
+              unet=False):
+    import torch as _t
+    with _t.no_grad():
+        tout = ref_model(_t.tensor(x_np, dtype=_t.float64))
+    jout = our_model.apply(our_params,
+                           jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    return tout, jout
+
+
+@pytest.mark.parametrize("r_p", ["replicate", "learned"])
+@pytest.mark.parametrize("use_symm", [False, True])
+def test_newfluidnet_forward_parity(torch_mods, r_p, use_symm):
+    torch, ref = torch_mods
+    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.utils.torch_convert import (
+        convert_fluidnet)
+
+    levels, c_h, repeats, k = 3, 8, 2, 5
+    tm = ref.NewFluidNet(
+        levels, 7, c_h, 1, torch.device("cpu"), "gelu", r_p, "curl",
+        use_symm=use_symm, a_bound=10, repeats=repeats, f=k,
+        p_pred=False).double()
+    tm.eval()
+
+    sd = {kk: v.detach().numpy() for kk, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_fluidnet(sd, levels,
+                                                        repeats))
+
+    jm = NewFluidNet(levels=levels, c_i=7, c_h=c_h, c_o=1, act_fn="gelu",
+                     r_p=r_p, loss_type="curl", use_symm=use_symm,
+                     a_bound=10, repeats=repeats, f=k, p_pred=False)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 7, 128, 506))
+    tout, jout = _run_pair(torch, tm, jm, params, x)
+
+    np.testing.assert_allclose(np.asarray(jout[0]), tout[0].numpy(),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jout[1]), tout[1].numpy(),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_fluidnet_forward_parity(torch_mods):
+    torch, ref = torch_mods
+    from pbml_mantle_convection_tpu.models import FluidNet
+    from pbml_mantle_convection_tpu.utils.torch_convert import (
+        convert_fluidnet)
+
+    levels, c_h, repeats, k = 2, 8, 2, 5
+    tm = ref.FluidNet(
+        levels, 7, c_h, 1, torch.device("cpu"), "gelu", "learned", "curl",
+        use_symm=False, a_bound=10, repeats=repeats, f=k,
+        p_pred=False).double()
+    tm.eval()
+    sd = {kk: v.detach().numpy() for kk, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray,
+                          convert_fluidnet(sd, levels, repeats))
+    jm = FluidNet(levels=levels, c_i=7, c_h=c_h, c_o=1, act_fn="gelu",
+                  r_p="learned", loss_type="curl", a_bound=10,
+                  repeats=repeats, f=k, p_pred=False)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 7, 128, 506))
+    tout, jout = _run_pair(torch, tm, jm, params, x)
+    np.testing.assert_allclose(np.asarray(jout[0]), tout[0].numpy(),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jout[1]), tout[1].numpy(),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_unet_forward_parity(torch_mods):
+    torch, ref = torch_mods
+    from pbml_mantle_convection_tpu.models import Unet
+    from pbml_mantle_convection_tpu.utils.torch_convert import convert_unet
+
+    levels, c_h, repeats, k = 3, 8, 2, 5
+    tm = ref.Unet(
+        levels, 10, c_h, 2, torch.device("cpu"), "gelu", "replicate",
+        "curl", a_bound=10, repeats=repeats, f=k, p_pred=False).double()
+    tm.eval()
+    sd = {kk: v.detach().numpy() for kk, v in tm.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_unet(sd, levels, repeats))
+    jm = Unet(levels=levels, c_i=10, c_h=c_h, c_o=2, act_fn="gelu",
+              r_p="replicate", loss_type="curl", a_bound=10,
+              repeats=repeats, f=k, p_pred=False)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 10, 128, 506))
+
+    import torch as _t
+    with _t.no_grad():
+        tu, tv, tp, tT = tm(_t.tensor(x, dtype=_t.float64))
+    ju, jv, jp, jT = jm.apply(params,
+                              jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ju), tu.numpy(), rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jT), tT.numpy(), rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_adnet_parity(torch_mods):
+    """Our advection step vs the reference ADNet on the real grid."""
+    torch, ref = torch_mods
+    from pbml_mantle_convection_tpu.physics.advection import (
+        advect_diffuse_step, grid_metrics)
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+
+    g = Grid()
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(1, 1, 128, 506)) * 100
+    v = rng.normal(size=(1, 1, 128, 506)) * 100
+    T = rng.uniform(size=(1, 1, 128, 506))
+    raq = 2.5
+
+    adnet = ref.ADNet(device=torch.device("cpu"), CN_max=0.99).double()
+    import torch as _t
+    with _t.no_grad():
+        inp = _t.cat([
+            _t.tensor(u), _t.tensor(v), _t.tensor(T),
+            _t.zeros_like(_t.tensor(u)) + raq,
+            _t.tensor(np.asarray(g.xc))[None, None].repeat(1, 1, 1, 1),
+            _t.tensor(np.asarray(g.yc))[None, None],
+        ], dim=1).double()
+        T_ref, dt_ref = adnet(inp)
+
+    metrics = grid_metrics(g.xc, g.yc)
+    T_ours, dt_ours = advect_diffuse_step(
+        jnp.asarray(u[:, 0]), jnp.asarray(v[:, 0]), jnp.asarray(T[:, 0]),
+        raq, metrics, cn_max=0.99)
+
+    np.testing.assert_allclose(float(dt_ours), float(dt_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(T_ours), T_ref.numpy()[:, 0],
+                               rtol=1e-10, atol=1e-12)

@@ -1,0 +1,90 @@
+"""Transolver / Physics-Attention / ViT tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pbml_mantle_convection_tpu.models import (
+    ModelConfig, PhysicsAttentionIrregularMesh,
+    PhysicsAttentionStructuredMesh2D, TransolverStructured2D, ViT,
+    build_model)
+from pbml_mantle_convection_tpu.ops.stencils import get_mass
+
+
+def test_physics_attention_irregular_shapes():
+    m = PhysicsAttentionIrregularMesh(dim=16, heads=2, dim_head=8,
+                                      slice_num=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 50, 16)))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 50, 16)
+
+
+def test_physics_attention_slice_weights_partition():
+    """Slice weights are a softmax over slices: the deslice of a constant
+    token field must reproduce that constant (partition of unity)."""
+    m = PhysicsAttentionStructuredMesh2D(dim=8, H=6, W=10, heads=2,
+                                         dim_head=4, slice_num=4, kernel=3)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 60, 8)))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 60, 8)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_transolver_structured_curl_divergence():
+    H, W = 16, 24
+    m = TransolverStructured2D(H=H, W=W, fun_dim=5, n_layers=2,
+                               n_hidden=16, n_head=2, slice_num=4,
+                               out_dim=1, p_pred=False)
+    data = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, H * W, 7)))
+    params = m.init(jax.random.PRNGKey(0), data)
+    u, v, p = m.apply(params, data)
+    assert u.shape == (2, H - 2, W - 2)
+    assert p is None
+    # curl head ⇒ divergence-free on its interior
+    mass = np.asarray(get_mass(u, v))
+    assert np.max(np.abs(mass)) < 1e-12
+
+
+def test_vit_shapes():
+    m = ViT(image_size=(16, 24), patch_size=(8, 8), num_classes=3, dim=32,
+            depth=2, heads=2, mlp_dim=64, channels=7)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 16, 24, 7)))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 3)
+
+
+class TestRegistry:
+    def test_channel_derivation(self):
+        # fluidnet curl no-p: c_o = 3 - 1 - 1 = 1 (multigpu.py:1084-1087)
+        cfg = ModelConfig(network="newfluidnet", loss_type="curl",
+                          p_pred=False)
+        assert cfg.channels == (7, 1)
+        cfg = ModelConfig(network="unet", loss_type="curl", p_pred=False)
+        assert cfg.channels == (10, 2)
+        cfg = ModelConfig(network="unet", loss_type="mae", p_pred=True)
+        assert cfg.channels == (11, 4)
+        cfg = ModelConfig(network="fluidnet", loss_type="mae", p_pred=True)
+        assert cfg.channels == (7, 3)
+
+    @pytest.mark.parametrize("net", [
+        "newfluidnet", "fluidnet", "unet", "convae",
+        "multiscalenewfluidnet", "transolver_structured", "vit"])
+    def test_build_all(self, net):
+        cfg = ModelConfig(network=net, levels=2, c_h=8, repeats=1,
+                          kernel=5, H=16, W=24, n_hidden=16, n_head=2,
+                          n_layers=2, slice_num=4,
+                          r_p="replicate" if net != "convae" else "zeros")
+        m = build_model(cfg)
+        c_i, _ = cfg.channels
+        if "transolver" in net:
+            x = jnp.zeros((1, 16 * 24, c_i))
+        else:
+            x = jnp.zeros((1, 16, 24, c_i))
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out is not None
