@@ -156,7 +156,11 @@ class SimEngine:
         if self.mode == "GAIA":
             if self.stokes_fn is None:
                 raise ValueError("mode='GAIA' requires stokes_fn")
-            _, _, _, V = self.stepper.stokes(T)  # viscosity only
+            from ..physics.viscosity import fk_viscosity
+            V = fk_viscosity(
+                jnp.asarray(self.params.fkt, T.dtype),
+                jnp.asarray(self.params.fkp, T.dtype),
+                1.0 - self.grid.yc.astype(T.dtype), T)
             u, v, p = self.stokes_fn(T, V)
         else:
             u, v, p, V = self.stepper.stokes(T)

@@ -1,0 +1,73 @@
+"""Iterative Stokes solver verification (method of manufactured checks)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pbml_mantle_convection_tpu.physics.stokes import (
+    PTStokesSolver, make_stokes_fn)
+from pbml_mantle_convection_tpu.sim.grid import Grid
+
+
+@pytest.fixture(scope="module")
+def solved():
+    ny = nx = 32
+    solver = PTStokesSolver(ny=ny, nx=nx, dy=1.0 / ny, dx=1.0 / nx,
+                            raq=10.0, n_iter=4000)
+    y = (np.arange(ny) + 0.5) / ny
+    x = (np.arange(nx) + 0.5) / nx
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    # buoyant blob in an isoviscous box
+    T = jnp.asarray(np.exp(-((xx - 0.5) ** 2 + (yy - 0.35) ** 2) / 0.02))
+    eta = jnp.ones((ny, nx))
+    return solver.solve(T, eta), T
+
+
+def test_divergence_small(solved):
+    res, _ = solved
+    assert float(res.err_div) < 1e-3
+
+
+def test_buoyant_blob_rises(solved):
+    res, T = solved
+    v = np.asarray(res.v)
+    # vertical velocity above the blob centre should be positive (upwelling)
+    iy, ix = np.unravel_index(np.argmax(np.asarray(T)), T.shape)
+    assert v[iy + 1, ix + 1] > 0
+    # return flow: downwelling near the side walls
+    assert v[iy + 1, 2] < 0 or v[iy + 1, -3] < 0
+
+
+def test_impermeable_walls(solved):
+    res, _ = solved
+    u = np.asarray(res.u)
+    v = np.asarray(res.v)
+    # corners zeroed by stamping; wall-normal velocity ~0 at boundaries
+    assert abs(v[0, 1:-1]).max() < 1e-8 or np.allclose(v[0, 1:-1], v[1, 1:-1])
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+
+
+def test_variable_viscosity_slows_flow():
+    ny = nx = 24
+    y = (np.arange(ny) + 0.5) / ny
+    x = (np.arange(nx) + 0.5) / nx
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    T = jnp.asarray(np.exp(-((xx - 0.5) ** 2 + (yy - 0.35) ** 2) / 0.02))
+
+    s = PTStokesSolver(ny=ny, nx=nx, dy=1.0 / ny, dx=1.0 / nx, raq=10.0,
+                       n_iter=3000)
+    r1 = s.solve(T, jnp.ones((ny, nx)))
+    r2 = s.solve(T, jnp.ones((ny, nx)) * 100.0)
+    vmax1 = float(jnp.max(jnp.abs(r1.v)))
+    vmax2 = float(jnp.max(jnp.abs(r2.v)))
+    assert vmax2 < vmax1 / 10  # ~1/eta scaling
+
+
+def test_make_stokes_fn_batched():
+    g = Grid(H=18, W=26)
+    fn = make_stokes_fn(g, raq=5.0, n_iter=500)
+    T = jnp.ones((2, g.H, g.W)) * 0.5
+    V = jnp.ones_like(T)
+    u, v, p = fn(T, V)
+    assert u.shape == (2, g.H, g.W)
+    assert np.isfinite(np.asarray(u)).all()
