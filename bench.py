@@ -48,8 +48,10 @@ def main():
     n_params = sum(p.size for p in jax.tree.leaves(weights))
     log(f"model params: {n_params}")
 
-    def apply_fn(x):
-        return model.apply(weights, x)
+    # rollout-optimized exact executor (space-to-depth convs, full MXU
+    # lanes; bit-equal to model.apply — models/fast_path.py)
+    from pbml_mantle_convection_tpu.models.fast_path import FastNewFluidNet
+    apply_fn = FastNewFluidNet(model, weights, grid.H, grid.W, f=4)
 
     stepper = TimeStepper(grid=grid, params=params_phys, apply_fn=apply_fn,
                           cn_max=0.99, dtype=dtype)

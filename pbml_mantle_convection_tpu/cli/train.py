@@ -118,6 +118,18 @@ def main(argv=None):
         cv_ds = TimePairDataset(cv_store, roll_forward=args.roll_forward,
                                 p_pred=bool(args.p_pred))
         init_tr = init_cv = None
+    elif "transolver" in args.network or args.network == "vit":
+        from ..data import UnstructuredDataset
+        train_ds = UnstructuredDataset(tr_store, scale=bool(args.scale),
+                                       p_pred=bool(args.p_pred))
+        cv_ds = UnstructuredDataset(cv_store, scale=bool(args.scale),
+                                    p_pred=bool(args.p_pred))
+        init_tr = init_cv = None
+    elif args.network == "convae":
+        from ..data import ConvAEDataset
+        train_ds = ConvAEDataset(tr_store, scale=bool(args.scale))
+        cv_ds = ConvAEDataset(cv_store, scale=bool(args.scale))
+        init_tr = init_cv = None
     else:
         train_ds = SnapshotDataset(tr_store, scale=bool(args.scale),
                                    p_pred=bool(args.p_pred),
@@ -128,6 +140,11 @@ def main(argv=None):
                                    p_pred=bool(args.p_pred))
                    if init_store is not None else None)
         init_cv = init_tr
+
+    if "transolver" in args.network or args.network == "vit":
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model, H=tr_store.T.shape[1], W=tr_store.T.shape[2]))
 
     trainer = Trainer(cfg, train_ds, cv_ds, train_data_init=init_tr,
                       cv_data_init=init_cv, nn_dir=args.nn_dir,

@@ -1,4 +1,4 @@
 from .dataset import (  # noqa: F401
-    SnapshotDataset, SnapshotStore, TimePairDataset,
-    select_snapshot_indices)
+    ConvAEDataset, SnapshotDataset, SnapshotStore, TimePairDataset,
+    UnstructuredDataset, select_snapshot_indices)
 from .synthetic import synthetic_store  # noqa: F401

@@ -195,6 +195,75 @@ class SnapshotDataset:
             yield self._assemble(idx, key)
 
 
+class UnstructuredDataset:
+    """Point-cloud view of a snapshot store for Transolver/ViT training.
+
+    NOTE: the reference's ``UnstructuredDataset`` is *lost* (referenced at
+    multigpu.py:690 but defined nowhere — SURVEY.md §2 dangling refs);
+    this is a documented reconstruction. Emits
+    ``x: (B, N, 2 + 5)`` = (xc/4, yc/4 | log10V/8, raq_nd, fkt_nd,
+    fkp_nd, T) flattened over the grid (the Transolver input contract,
+    Transolver_Structured_Mesh_2D-checkpoint.py:171-181) and
+    ``y: (B, C, H, W)`` like :class:`SnapshotDataset`.
+    """
+
+    def __init__(self, store: SnapshotStore, scale: bool = True,
+                 p_pred: bool = False, dtype=jnp.float32, **kw):
+        self._inner = SnapshotDataset(store, scale=scale, p_pred=p_pred,
+                                      dtype=dtype, **kw)
+
+    def __len__(self):
+        return len(self._inner)
+
+    @staticmethod
+    def _flatten(batch):
+        x = batch["x"]
+        B, H, W, C = x.shape
+        batch = dict(batch)
+        batch["x"] = x.reshape(B, H * W, C)
+        return batch
+
+    def batch(self, rng, batch_size, **kw):
+        return self._flatten(self._inner.batch(rng, batch_size, **kw))
+
+    def epoch_batches(self, rng, batch_size, **kw):
+        for b in self._inner.epoch_batches(rng, batch_size, **kw):
+            yield self._flatten(b)
+
+
+class ConvAEDataset:
+    """(u, v, T) → itself autoencoding dataset for the ConvAE surrogate.
+
+    NOTE: the reference's ``ConvAEDataset`` is *lost* (multigpu.py:688);
+    documented reconstruction: inputs are the scaled velocity pair plus
+    temperature (c_i = 3, multigpu.py:1075-1077), target is the input.
+    """
+
+    def __init__(self, store: SnapshotStore, scale: bool = True,
+                 dtype=jnp.float32, **kw):
+        kw.pop("p_pred", None)
+        self._inner = SnapshotDataset(store, scale=scale, p_pred=False,
+                                      dtype=dtype, **kw)
+
+    def __len__(self):
+        return len(self._inner)
+
+    @staticmethod
+    def _to_ae(batch):
+        y = batch["y"]                      # (B, 2, H, W) scaled u, v
+        T = batch["x"][..., 6]              # temperature channel
+        x = jnp.stack([y[:, 0], y[:, 1], T], axis=-1)
+        return {"x": x, "y": jnp.concatenate(
+            [y, T[:, None]], axis=1), "scaler": batch["scaler"]}
+
+    def batch(self, rng, batch_size, **kw):
+        return self._to_ae(self._inner.batch(rng, batch_size, **kw))
+
+    def epoch_batches(self, rng, batch_size, **kw):
+        for b in self._inner.epoch_batches(rng, batch_size, **kw):
+            yield self._to_ae(b)
+
+
 class TimePairDataset:
     """(t, t + roll_forward) pair dataset for the U-Net
     (reference ``ADTimeDataset``, datasetio.py:63-280)."""

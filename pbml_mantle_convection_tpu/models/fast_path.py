@@ -1,0 +1,395 @@
+"""Rollout-optimized NewFluidNet execution via space-to-depth convs.
+
+The flagship surrogate spends its time in 5×5 convolutions over 16
+channels — ~12% MXU lane utilization. This module executes the *same*
+parameters through an exact space-to-depth (f=4) reformulation
+(ops/s2d.py): every interior conv becomes a 3×3 conv over 256 channels
+(full MXU lanes, measured 3.3×), GroupNorm/activation stay in s2d layout,
+and the learned-boundary bands are fixed up with 3 grouped convs instead
+of 8 separate ones.
+
+Exactness: outputs match ``NewFluidNet.apply`` to float round-off (tests).
+Supported: r_p in {"learned", "zeros"}, bc_x = bc_y = 1, no dropout at
+inference — the flagship rollout configuration. Other configurations use
+the standard module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.curl import blur3x3, curl_head_padded
+from ..ops.resize import avg_pool_nhwc, resize_bicubic_nhwc
+from ..ops.s2d import (
+    conv_s2d, depth_to_space, group_norm_s2d, pad_to_multiple,
+    s2d_conv_weights, s2d_valid_mask, space_to_depth)
+from .layers import get_activation
+
+_BLC_ORDER = ("conv_top_left", "conv_top_right", "conv_bottom_left",
+              "conv_bottom_right", "conv_top", "conv_bottom", "conv_left",
+              "conv_right")
+
+
+@dataclasses.dataclass
+class _FastLayer:
+    """One FluidLayer's precomputed fast weights."""
+
+    w_s2d: jnp.ndarray                    # (Kp,Kp,f²Ci,f²Co)
+    gn_scale: jnp.ndarray
+    gn_bias: jnp.ndarray
+    num_groups: int
+    c_o: int
+    learned: bool
+    k: int
+    # learned-padding extras (dense HWIO band weights)
+    bias: Optional[jnp.ndarray] = None            # learnable_bias (1,1,1,C)
+    w_corners: Optional[jnp.ndarray] = None       # (k,k,Ci,4Co) grouped
+    w_tb: Optional[jnp.ndarray] = None            # (k,k,Ci,2Co) top+bottom
+    w_lr: Optional[jnp.ndarray] = None            # (k,k,Ci,2Co) left+right
+    # plain-conv extras
+    conv_bias: Optional[jnp.ndarray] = None
+
+
+def _grouped(kernels: List[np.ndarray]) -> jnp.ndarray:
+    """Stack same-shaped HWIO kernels along O for a feature-grouped conv
+    (inputs are channel-concatenated copies of the same slab)."""
+    return jnp.asarray(np.concatenate(kernels, axis=-1))
+
+
+def _conv_valid(x, w, groups: int = 1):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype)
+
+
+def _prep_layer(tree: Dict, learned: bool, k: int, f: int, dtype
+                ) -> _FastLayer:
+    conv = tree["conv"]
+    gn = tree["gn"]["GroupNorm_0"]
+    if learned:
+        w_main = np.asarray(conv["conv"]["kernel"], dtype)
+        c_o = w_main.shape[-1]
+        band = {n: np.asarray(conv[n]["kernel"], dtype)
+                for n in _BLC_ORDER}
+        return _FastLayer(
+            w_s2d=jnp.asarray(s2d_conv_weights(w_main, f)),
+            gn_scale=jnp.asarray(gn["scale"], dtype),
+            gn_bias=jnp.asarray(gn["bias"], dtype),
+            num_groups=max(1, c_o // min(4, c_o)),
+            c_o=c_o, learned=True, k=k,
+            bias=jnp.asarray(conv["learnable_bias"], dtype),
+            w_corners=_grouped([band["conv_bottom_left"],
+                                band["conv_bottom_right"],
+                                band["conv_top_left"],
+                                band["conv_top_right"]]),
+            w_tb=_grouped([band["conv_bottom"], band["conv_top"]]),
+            w_lr=_grouped([band["conv_left"], band["conv_right"]]),
+        )
+    w = np.asarray(conv["kernel"], dtype)
+    c_o = w.shape[-1]
+    return _FastLayer(
+        w_s2d=jnp.asarray(s2d_conv_weights(w, f)),
+        gn_scale=jnp.asarray(gn["scale"], dtype),
+        gn_bias=jnp.asarray(gn["bias"], dtype),
+        num_groups=max(1, c_o // min(4, c_o)),
+        c_o=c_o, learned=False, k=k,
+        conv_bias=jnp.asarray(conv["bias"], dtype),
+    )
+
+
+def _prep_plain_conv(tree: Dict, f: int, dtype):
+    w = np.asarray(tree["kernel"], dtype)
+    return (jnp.asarray(s2d_conv_weights(w, f)),
+            jnp.asarray(tree["bias"], dtype), w.shape[-1])
+
+
+def _prep_blc(tree: Dict, k: int, f: int, dtype):
+    w_main = np.asarray(tree["conv"]["kernel"], dtype)
+    band = {n: np.asarray(tree[n]["kernel"], dtype) for n in _BLC_ORDER}
+    return dict(
+        w_s2d=jnp.asarray(s2d_conv_weights(w_main, f)),
+        bias=jnp.asarray(tree["learnable_bias"], dtype),
+        w_corners=_grouped([band["conv_bottom_left"],
+                            band["conv_bottom_right"],
+                            band["conv_top_left"], band["conv_top_right"]]),
+        w_tb=_grouped([band["conv_bottom"], band["conv_top"]]),
+        w_lr=_grouped([band["conv_left"], band["conv_right"]]),
+        c_o=w_main.shape[-1], k=k)
+
+
+class FastNewFluidNet:
+    """Exact fast executor for a trained NewFluidNet (see module doc).
+
+    Usage::
+
+        fast = FastNewFluidNet(model, params, H, W)
+        u, v, p = fast(x)            # x: (B, H, W, c_i) dense NHWC
+    """
+
+    def __init__(self, model, params, H: int, W: int, f: int = 4,
+                 dtype=None):
+        self.m = model
+        self.f = f
+        self.H, self.W = H, W
+        p = params["params"] if "params" in params else params
+        dtype = dtype or np.asarray(
+            jax.tree.leaves(p)[0]).dtype
+        self.dtype = dtype
+        learned = model.r_p == "learned"
+        if model.r_p not in ("learned", "zeros"):
+            raise ValueError("fast path supports r_p in {learned, zeros}")
+        if model.spectral_conv or model.drop_rate:
+            raise ValueError("fast path: no spectral/dropout support")
+
+        k = model.f
+        self.stem = _prep_layer(p["conv_0"], learned, k, f, dtype)
+        self.branches = [
+            [_prep_layer(p[f"convs_{l}_{r}"], learned, k, f, dtype)
+             for r in range(model.repeats)]
+            for l in range(model.levels)]
+        if learned:
+            self.merge1 = _prep_blc(p["conv_1"], k, f, dtype)
+            self.merge2 = _prep_blc(p["conv_2"], k, f, dtype)
+            self.merge3 = _prep_blc(p["conv_3"], k, f, dtype)
+        else:
+            self.merge1 = _prep_plain_conv(p["conv_1"], f, dtype)
+            self.merge2 = _prep_plain_conv(p["conv_2"], f, dtype)
+            self.merge3 = _prep_plain_conv(p["conv_3"], f, dtype)
+        gn0 = p["gn_0"]["GroupNorm_0"]
+        self.gn0_scale = jnp.asarray(gn0["scale"], dtype)
+        self.gn0_bias = jnp.asarray(gn0["bias"], dtype)
+        self.act = get_activation(model.act_fn)
+
+    # ------------------------------------------------------------------
+    # band fix-up machinery
+    # ------------------------------------------------------------------
+
+    def _dense_slabs(self, x6, C, n, H, W):
+        """Dense top/bottom (n, W) and left/right (H, n) slabs of the
+        valid region, extracted from edge blocks of the s2d tensor."""
+        f = self.f
+        h, w = x6.shape[1], x6.shape[2]
+        nb = min(h, -(-n // f) + 1)      # block rows covering n valid rows
+        nbw = min(w, -(-n // f) + 1)     # + up to f-1 pad rows at the end
+        top = depth_to_space(x6[:, :nb], f, C)[:, :n, :W]
+        bot_strip = depth_to_space(x6[:, h - nb:], f, C)
+        off = H - (h - nb) * f           # valid rows inside the strip
+        bot = bot_strip[:, off - n:off, :W]
+        left = depth_to_space(x6[:, :, :nbw], f, C)[:, :H, :n]
+        rgt_strip = depth_to_space(x6[:, :, w - nbw:], f, C)
+        offw = W - (w - nbw) * f
+        rgt = rgt_strip[:, :H, offw - n:offw]
+        return top, bot, left, rgt
+
+    def _blc_bands(self, x6, C, c_o, k, w_corners, w_tb, w_lr, H, W):
+        """The 4 output bands of the learned-boundary conv
+        (pytorch_networks_convae.py:1022-1060 semantics, incl. the
+        row-flip quirk: output rows 0..1 come from the LAST input rows)."""
+        pad = k + 1 if k == 5 else k
+        band = pad - (k - 1)
+        top_in, bot_in, left_in, right_in = self._dense_slabs(
+            x6, C, pad, H, W)
+
+        # top+bottom grouped conv: output band rows; group 0 = dense rows
+        # 0..band-1 (from bot_in), group 1 = last rows (from top_in)
+        tb_in = jnp.concatenate([bot_in, top_in], axis=-1)
+        tb = _conv_valid(tb_in, w_tb, groups=2)          # (B, band, W-k+1, 2c_o)
+        lr_in = jnp.concatenate([left_in, right_in], axis=-1)
+        lr = _conv_valid(lr_in, w_lr, groups=2)          # (B, H-k+1, band, 2c_o)
+
+        cn_in = jnp.concatenate(
+            [bot_in[:, :, :pad], bot_in[:, :, -pad:],
+             top_in[:, :, :pad], top_in[:, :, -pad:]], axis=-1)
+        cn = _conv_valid(cn_in, w_corners, groups=4)     # (B, band, band, 4c_o)
+
+        # assemble full-width top/bottom bands (B, band, W, c_o)
+        row0 = jnp.concatenate(
+            [cn[..., 0 * c_o:1 * c_o], tb[..., 0 * c_o:1 * c_o],
+             cn[..., 1 * c_o:2 * c_o]], axis=2)
+        row1 = jnp.concatenate(
+            [cn[..., 2 * c_o:3 * c_o], tb[..., 1 * c_o:2 * c_o],
+             cn[..., 3 * c_o:4 * c_o]], axis=2)
+        left_band = lr[..., 0 * c_o:1 * c_o]             # rows band..H-band-1
+        right_band = lr[..., 1 * c_o:2 * c_o]
+        return row0, row1, left_band, right_band, band
+
+    def _overwrite_bands(self, y6, bands, c_o, H, W):
+        """Write the dense boundary bands into the s2d tensor by editing
+        only the edge block-rows/cols (small strips + dynamic updates —
+        no full-tensor concats)."""
+        f = self.f
+        row0, row1, lb, rb, band = bands
+        B, h, w, _ = y6.shape
+        Hp, Wp = h * f, w * f
+        assert band <= f
+
+        def padW(r):
+            if Wp == W:
+                return r
+            return jnp.pad(r, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+
+        # dense rows [0, band): inside block-row 0
+        strip = depth_to_space(y6[:, :1], f, c_o)
+        strip = jnp.concatenate([padW(row0), strip[:, band:]], axis=1)
+        y6 = y6.at[:, :1].set(space_to_depth(strip, f))
+
+        # dense rows [H-band, H): inside the last valid block-row(s)
+        hb = (H - band) // f
+        strip = depth_to_space(y6[:, hb:], f, c_o)
+        lo = (H - band) - hb * f
+        strip = jnp.concatenate(
+            [strip[:, :lo], padW(row1), strip[:, lo + band:]], axis=1)
+        y6 = y6.at[:, hb:].set(space_to_depth(strip, f))
+
+        row_mask = jnp.zeros((Hp, 1, 1), y6.dtype
+                             ).at[band:H - band].set(1.0)
+
+        def padH(cols):
+            full = jnp.zeros((B, Hp, band, c_o), cols.dtype)
+            return full.at[:, band:H - band].set(cols)
+
+        # dense cols [0, band) on rows band..H-band-1: block-col 0
+        strip = depth_to_space(y6[:, :, :1], f, c_o)          # (B,Hp,f,c)
+        new_left = (strip[:, :, :band] * (1 - row_mask)
+                    + padH(lb) * row_mask)
+        strip = jnp.concatenate([new_left, strip[:, :, band:]], axis=2)
+        y6 = y6.at[:, :, :1].set(space_to_depth(strip, f))
+
+        # dense cols [W-band, W)
+        wb = (W - band) // f
+        strip = depth_to_space(y6[:, :, wb:], f, c_o)
+        lo = (W - band) - wb * f
+        new_right = (strip[:, :, lo:lo + band] * (1 - row_mask)
+                     + padH(rb) * row_mask)
+        strip = jnp.concatenate(
+            [strip[:, :, :lo], new_right, strip[:, :, lo + band:]], axis=2)
+        y6 = y6.at[:, :, wb:].set(space_to_depth(strip, f))
+        return y6
+
+    # ------------------------------------------------------------------
+
+    def _layer(self, x6, C_in, lay: _FastLayer, mask, valid_count, H, W):
+        y6 = conv_s2d(x6, lay.w_s2d)
+        if lay.learned:
+            bands = self._blc_bands(x6, C_in, lay.c_o, lay.k,
+                                    lay.w_corners, lay.w_tb, lay.w_lr,
+                                    H, W)
+            y6 = self._overwrite_bands(y6, bands, lay.c_o, H, W)
+            y6 = y6 + jnp.tile(lay.bias[0, 0, 0], self.f * self.f)
+        else:
+            y6 = y6 + jnp.tile(lay.conv_bias, self.f * self.f)
+        if mask is not None:
+            y6 = y6 * jnp.repeat(mask, lay.c_o, axis=-1)[None]
+        y6 = group_norm_s2d(y6, self.f, lay.c_o, lay.num_groups,
+                            lay.gn_scale, lay.gn_bias,
+                            valid_count=valid_count, mask=mask)
+        y6 = self.act(y6)
+        if mask is not None:
+            y6 = y6 * jnp.repeat(mask, lay.c_o, axis=-1)[None]
+        return y6
+
+    def _blc_merge(self, x6, C_in, spec, mask, H, W):
+        y6 = conv_s2d(x6, spec["w_s2d"])
+        bands = self._blc_bands(x6, C_in, spec["c_o"], spec["k"],
+                                spec["w_corners"], spec["w_tb"],
+                                spec["w_lr"], H, W)
+        y6 = self._overwrite_bands(y6, bands, spec["c_o"], H, W)
+        y6 = y6 + jnp.tile(spec["bias"][0, 0, 0], self.f * self.f)
+        if mask is not None:
+            y6 = y6 * jnp.repeat(mask, spec["c_o"], axis=-1)[None]
+        return y6
+
+    def __call__(self, x):
+        m = self.m
+        f = self.f
+        B, H, W, c_i = x.shape
+        xp, _ = pad_to_multiple(x, f)
+        mask0 = s2d_valid_mask(H, W, f, xp.dtype)
+        count0 = float(H * W)
+        x6 = space_to_depth(xp, f)
+
+        stem6 = self._layer(x6, c_i, self.stem, mask0, count0, H, W)
+
+        # branches (pool in dense space for exact VALID semantics)
+        branches_dense = []
+        for l in range(m.levels):
+            if l == 0:
+                y6, hH, hW, msk, cnt = stem6, H, W, mask0, count0
+            else:
+                prev = branches_pool
+                dense = prev[:, :hH, :hW, :]
+                dense = avg_pool_nhwc(dense, m.factor)
+                hH, hW = dense.shape[1], dense.shape[2]
+                msk = s2d_valid_mask(hH, hW, f, dense.dtype)
+                cnt = float(hH * hW)
+                dense, _ = pad_to_multiple(dense, f)
+                y6 = space_to_depth(dense, f)
+            branches_pool = depth_to_space(y6, f, m.c_h)
+            for r in range(m.repeats):
+                y6 = self._layer(y6, m.c_h, self.branches[l][r], msk, cnt,
+                                 hH, hW)
+            yd = depth_to_space(y6, f, m.c_h)[:, :hH, :hW, :]
+            if l > 0:
+                yd = resize_bicubic_nhwc(yd, (H, W))
+            branches_dense.append(yd)
+
+        y = jnp.concatenate(branches_dense + [x], axis=-1)
+        c_cat = y.shape[-1]
+        yp, _ = pad_to_multiple(y, f)
+        y6 = space_to_depth(yp, f)
+
+        if isinstance(self.merge1, dict):
+            y6 = self._blc_merge(y6, c_cat, self.merge1, mask0, H, W)
+            y6 = group_norm_s2d(y6, f, m.c_h,
+                                max(1, m.c_h // 4), self.gn0_scale,
+                                self.gn0_bias, valid_count=count0,
+                                mask=mask0)
+            y6 = self.act(y6)
+            if mask0 is not None:
+                y6 = y6 * jnp.repeat(mask0, m.c_h, axis=-1)[None]
+            y6 = self._blc_merge(y6, m.c_h, self.merge2, mask0, H, W)
+            y6 = self.act(y6)
+            if mask0 is not None:
+                y6 = y6 * jnp.repeat(mask0, m.c_h, axis=-1)[None]
+            y6 = self._blc_merge(y6, m.c_h, self.merge3, mask0, H, W)
+            c_o = self.merge3["c_o"]
+        else:
+            w1, b1, c1 = self.merge1
+            y6 = conv_s2d(y6, w1) + jnp.tile(b1, f * f)
+            if mask0 is not None:
+                y6 = y6 * jnp.repeat(mask0, c1, axis=-1)[None]
+            y6 = group_norm_s2d(y6, f, m.c_h, max(1, m.c_h // 4),
+                                self.gn0_scale, self.gn0_bias,
+                                valid_count=count0, mask=mask0)
+            y6 = self.act(y6)
+            w2, b2, c2 = self.merge2
+            y6 = conv_s2d(y6, w2) + jnp.tile(b2, f * f)
+            if mask0 is not None:
+                y6 = y6 * jnp.repeat(mask0, c2, axis=-1)[None]
+            y6 = self.act(y6)
+            w3, b3, c_o = self.merge3
+            y6 = conv_s2d(y6, w3) + jnp.tile(b3, f * f)
+
+        y = depth_to_space(y6, f, c_o)[:, :H, :W, :]
+        y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
+
+        if m.loss_type in ("mae", "mass"):
+            u = y[..., 0]
+            v = y[..., 1]
+            p = y[..., 2] if m.p_pred else None
+            return u, v, p
+
+        a = y[..., 0] * m.a_bound
+        if m.blurr:
+            a = blur3x3(a)
+        p = y[..., 1] if m.p_pred else None
+        u, v = curl_head_padded(a)
+        return u, v, p

@@ -216,6 +216,100 @@ class SymmetricConv2d(nn.Module):
                            dilation=self.dilation)
 
 
+class SymmetricConv3d(nn.Module):
+    """3-D symmetric convolution with weight sharing across reflection
+    groups along h (kernel W), v (kernel H) and z (kernel D) axes and
+    their combinations. Reference: symmetric_layers_torch.py:141-309.
+
+    ``symmetry`` keys: 'h', 'v', 'z' (pairs), 'hv', 'hz', 'vz' (quads),
+    'hvz' (octets). Kernel param: (kd, kh, kw, c_i, unique_out); NDHWC
+    data. Flip-axis mapping from the torch reference (which flips dims
+    4/3/2 of an OIDHW kernel): h → kernel W (axis 2), v → kernel H
+    (axis 1), z → kernel D (axis 0).
+    """
+
+    features: int
+    kernel_size: int
+    symmetry: Optional[dict] = None
+    use_bias: bool = True
+    padding: str = "SAME"
+    dtype: Optional[jnp.dtype] = None
+
+    @staticmethod
+    def unique_out_channels(features: int, symmetry: dict) -> int:
+        s = {k: 0 for k in ("h", "v", "z", "hv", "hz", "vz", "hvz")}
+        s.update(symmetry or {})
+        for key, val in s.items():
+            if key in ("h", "v", "z") and val % 2:
+                raise ValueError("pair symmetries must be even")
+            if key in ("hv", "hz", "vz") and val % 4:
+                raise ValueError("quad symmetries must be divisible by 4")
+            if key == "hvz" and val % 8:
+                raise ValueError("hvz must be divisible by 8")
+        if sum(s.values()) > features:
+            raise ValueError("symmetric channels exceed out channels")
+        return (features - s["h"] // 2 - s["v"] // 2 - s["z"] // 2
+                - 3 * s["hv"] // 4 - 3 * s["hz"] // 4 - 3 * s["vz"] // 4
+                - 7 * s["hvz"] // 8)
+
+    @nn.compact
+    def __call__(self, x):
+        s = {k: 0 for k in ("h", "v", "z", "hv", "hz", "vz", "hvz")}
+        s.update(self.symmetry or {})
+        c_i = x.shape[-1]
+        k = self.kernel_size
+        n_unique = self.unique_out_channels(self.features, s)
+        w = self.param("kernel", torch_conv_kernel_init_nd(3),
+                       (k, k, k, c_i, n_unique), self.dtype or x.dtype)
+
+        # flip-axis map (see class doc): h→2, v→1, z→0
+        parts = [w]
+        ix = 0
+        for key, axes in (("h", (2,)), ("v", (1,)), ("z", (0,))):
+            if s[key] > 0:
+                n = s[key] // 2
+                parts.append(jnp.flip(w[..., ix:ix + n], axis=axes))
+                ix += n
+        for key, ax2 in (("hv", (2, 1)), ("hz", (2, 0)), ("vz", (1, 0))):
+            if s[key] > 0:
+                n = s[key] // 4
+                blk = w[..., ix:ix + n]
+                parts.extend([jnp.flip(blk, axis=(ax2[0],)),
+                              jnp.flip(blk, axis=(ax2[1],)),
+                              jnp.flip(blk, axis=ax2)])
+                ix += n
+        if s["hvz"] > 0:
+            n = s["hvz"] // 8
+            blk = w[..., ix:ix + n]
+            parts.extend([
+                jnp.flip(blk, axis=(2,)), jnp.flip(blk, axis=(1,)),
+                jnp.flip(blk, axis=(0,)), jnp.flip(blk, axis=(0, 1)),
+                jnp.flip(blk, axis=(0, 2)), jnp.flip(blk, axis=(1, 2)),
+                jnp.flip(blk, axis=(0, 1, 2))])
+            ix += n
+        kernel = jnp.concatenate(parts, axis=-1)
+
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_bias_init(k ** 3 * c_i),
+                              (self.features,), self.dtype or x.dtype)
+        y = lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), self.padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=x.dtype)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def torch_conv_kernel_init_nd(spatial_dims: int):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = math.prod(shape[:spatial_dims]) * shape[spatial_dims]
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class Conv2dTorch(nn.Module):
     """Plain conv with torch-default init and torch padding_mode semantics."""
 

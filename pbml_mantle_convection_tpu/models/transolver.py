@@ -193,6 +193,68 @@ class PhysicsAttentionStructuredMesh2D(nn.Module):
         return Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
+class PhysicsAttentionStructuredMesh3D(nn.Module):
+    """Physics-Attention with 3-D conv slice projections.
+    Reference: Physics_Attention-checkpoint.py:119-175."""
+
+    dim: int
+    H: int
+    W: int
+    D: int
+    heads: int = 8
+    dim_head: int = 64
+    slice_num: int = 32
+    kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        assert N == self.H * self.W * self.D
+        inner = self.heads * self.dim_head
+        vol = x.reshape(B, self.H, self.W, self.D, C)
+
+        def conv3d(name):
+            def apply(v):
+                k = self.kernel
+                kern = self.param(
+                    f"{name}_kernel", trunc_normal_init(0.02),
+                    (k, k, k, C, inner), self.dtype or x.dtype)
+                bias = self.param(f"{name}_bias",
+                                  nn.initializers.zeros_init(),
+                                  (inner,), self.dtype or x.dtype)
+                import jax.lax as lax
+                y = lax.conv_general_dilated(
+                    v, kern, (1, 1, 1), "SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=v.dtype)
+                return y + bias
+            return apply
+
+        fx_mid = conv3d("in_project_fx")(vol).reshape(
+            B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        x_mid = conv3d("in_project_x")(vol).reshape(
+            B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        temperature = self.param(
+            "temperature", nn.initializers.constant(0.5),
+            (1, self.heads, 1, 1), self.dtype or x.dtype)
+        temperature = jnp.clip(temperature, 0.1, 5.0)
+
+        slice_proj = Dense(self.slice_num, dtype=self.dtype,
+                           name="in_project_slice")
+        to_q = Dense(self.dim_head, use_bias=False, dtype=self.dtype,
+                     name="to_q")
+        to_k = Dense(self.dim_head, use_bias=False, dtype=self.dtype,
+                     name="to_k")
+        to_v = Dense(self.dim_head, use_bias=False, dtype=self.dtype,
+                     name="to_v")
+        out = _slice_attention(fx_mid, x_mid, slice_proj, temperature,
+                               to_q, to_k, to_v, self.dim_head ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        return Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
 class TransolverBlock(nn.Module):
     """LayerNorm → Physics-Attention → residual → MLP → residual
     (Transolver_Structured_Mesh_2D-checkpoint.py:41-77)."""

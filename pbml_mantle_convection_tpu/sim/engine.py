@@ -168,7 +168,7 @@ class SimEngine:
                 p = state.p
 
         src = self._energy_sources(state, T, v)
-        T_new, dt = advect_diffuse_step(
+        T_new, dt = self.stepper.advect_fn(
             u, v, T, src, self.stepper._metrics, dt=None,
             cn_max=self.stepper.cn_max, core_cool=self.core_cool)
 

@@ -115,7 +115,20 @@ class TimeStepper:
     advect: bool = True           # run the AD temperature update (mode "ML")
     cn_max: float = 0.99
     core_cool: bool = False
-    dtype: Any = jnp.float32
+    use_pallas: bool = False   # opt-in: measured slower than XLA's fused
+    dtype: Any = jnp.float32   # elementwise path inside the rollout scan
+
+    @property
+    def advect_fn(self):
+        """The energy-update implementation. The Pallas kernel
+        (ops/pallas_kernels.py) is opt-in: inside the rollout scan XLA
+        fuses the advection into neighbouring ops and measures ~1 ms/step
+        faster than the standalone kernel at 256²."""
+        use = self.use_pallas
+        if use:
+            from ..ops.pallas_kernels import advect_diffuse_step_pallas
+            return advect_diffuse_step_pallas
+        return advect_diffuse_step
 
     def __post_init__(self):
         object.__setattr__(self, "_static",
@@ -158,7 +171,7 @@ class TimeStepper:
         if not self.advect:
             return T, jnp.asarray(0.0, T.dtype), u, v, p, V
         raq = jnp.asarray(self.params.raq, T.dtype)
-        T_new, dt = advect_diffuse_step(
+        T_new, dt = self.advect_fn(
             u, v, T, raq, self._metrics, dt=dt, cn_max=self.cn_max,
             core_cool=self.core_cool)
         T_new = stamp_temperature_bc(T_new, core_cool=self.core_cool)

@@ -85,9 +85,47 @@ def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
     return loss_fn
 
 
+def _transolver_loss_fn(apply_fn, cfg: TrainStepConfig):
+    """Transolver outputs live on the (H-2, W-2) VALID interior
+    (Transolver_Structured_Mesh_2D-checkpoint.py:201-204) — the target is
+    cropped accordingly."""
+    def loss_fn(params, batch):
+        u, v, p = apply_fn(params, batch["x"])
+        y = batch["y"][..., 1:-1, 1:-1]
+        br = fluidnet_loss(
+            u, v, p, y, p_pred=cfg.p_pred, loss_scale=cfg.loss_scale,
+            loss_derivative=cfg.loss_derivative, loss_type=cfg.loss_type)
+        return br.total, br
+    return loss_fn
+
+
+def _convae_loss_fn(apply_fn, cfg: TrainStepConfig):
+    """ConvAE reconstruction loss (the reference's lost ``get_loss_convae``
+    path, multigpu.py:311-314 — documented reconstruction): L1 on the
+    reconstructed (u, v) channels + the mass penalty."""
+    def loss_fn(params, batch):
+        out = apply_fn(params, batch["x"])
+        # ConvAE curl output channel order: (passthrough..., u, v[, p])
+        if cfg.p_pred:
+            u, v = out[..., -3], out[..., -2]
+        else:
+            u, v = out[..., -2], out[..., -1]
+        y = batch["y"][..., 1:-1, 1:-1] if u.shape[-1] != batch[
+            "y"].shape[-1] else batch["y"]
+        br = fluidnet_loss(
+            u, v, None, y, p_pred=False, loss_scale=cfg.loss_scale,
+            loss_derivative=cfg.loss_derivative, loss_type=cfg.loss_type)
+        return br.total, br
+    return loss_fn
+
+
 def make_loss_fn(apply_fn: Callable, cfg: TrainStepConfig):
-    if cfg.net == "unet" or cfg.net == "iunet":
+    if cfg.net in ("unet", "iunet"):
         return _unet_loss_fn(apply_fn, cfg)
+    if "transolver" in cfg.net or cfg.net == "vit":
+        return _transolver_loss_fn(apply_fn, cfg)
+    if cfg.net == "convae":
+        return _convae_loss_fn(apply_fn, cfg)
     return _fluidnet_loss_fn(apply_fn, cfg)
 
 

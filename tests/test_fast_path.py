@@ -1,0 +1,77 @@
+"""Fast (space-to-depth) execution path: exactness vs the standard model."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pbml_mantle_convection_tpu.models import NewFluidNet
+from pbml_mantle_convection_tpu.models.fast_path import FastNewFluidNet
+from pbml_mantle_convection_tpu.ops.s2d import (
+    conv_s2d, depth_to_space, s2d_conv_weights, space_to_depth)
+
+
+class TestS2DConv:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, 3)))
+        y = depth_to_space(space_to_depth(x, 4), 4, 3)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.parametrize("K,f", [(5, 4), (3, 4), (5, 2), (3, 2)])
+    def test_conv_equivalence(self, K, f):
+        """s2d conv == dense zero-pad SAME conv, everywhere."""
+        from jax import lax
+        rng = np.random.default_rng(1)
+        Ci, Co = 3, 5
+        x = jnp.asarray(rng.normal(size=(1, 16, 32, Ci)))
+        w = rng.normal(size=(K, K, Ci, Co))
+
+        dense = lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fast = depth_to_space(
+            conv_s2d(space_to_depth(x, f),
+                     jnp.asarray(s2d_conv_weights(w, f))), f, Co)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def _check_model(r_p, H, W, levels=3, repeats=2, p_pred=False, blurr=False):
+    model = NewFluidNet(levels=levels, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p=r_p, loss_type="curl", repeats=repeats, f=5,
+                        p_pred=p_pred, blurr=blurr)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, H, W, 7)))
+    params = model.init(jax.random.PRNGKey(0), x)
+    u0, v0, p0 = model.apply(params, x)
+    fast = FastNewFluidNet(model, params, H, W, f=4)
+    u1, v1, p1 = fast(x)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-8,
+                               atol=1e-10)
+    if p_pred:
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-8, atol=1e-10)
+
+
+class TestFastNewFluidNet:
+    def test_learned_divisible_grid(self):
+        _check_model("learned", 32, 64)
+
+    def test_learned_reference_grid_shape(self):
+        # 506 is not divisible by 4 → exercises padding + masked GN
+        _check_model("learned", 32, 54)
+
+    def test_zeros_padding(self):
+        _check_model("zeros", 32, 64)
+
+    def test_zeros_nondivisible(self):
+        _check_model("zeros", 36, 54)
+
+    def test_with_pressure(self):
+        _check_model("learned", 32, 64, p_pred=True)
+
+    def test_full_reference_grid(self):
+        _check_model("learned", 128, 506, levels=2, repeats=1)

@@ -167,3 +167,22 @@ class TestSpectralConv:
         ours = np.asarray(m.apply(params, jnp.asarray(
             x.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+
+class TestSymmetricConv3d:
+    def test_unique_channels(self):
+        from pbml_mantle_convection_tpu.models.layers import SymmetricConv3d
+        assert SymmetricConv3d.unique_out_channels(
+            16, {"h": 4, "z": 2, "hv": 8}) == 16 - 2 - 1 - 6
+        assert SymmetricConv3d.unique_out_channels(16, {"hvz": 8}) == 9
+
+    def test_forward_and_mirror_structure(self):
+        from pbml_mantle_convection_tpu.models.layers import SymmetricConv3d
+        m = SymmetricConv3d(4, 3, symmetry={"h": 4}, use_bias=False)
+        x = jnp.zeros((1, 5, 7, 7, 1)).at[0, 2, 3, 3, 0].set(1.0)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(params, x))
+        assert y.shape == (1, 5, 7, 7, 4)
+        # h-pair (0,2): mirrored along the W axis
+        np.testing.assert_allclose(y[0, :, :, :, 2], y[0, :, :, ::-1, 0],
+                                   atol=1e-14)

@@ -144,3 +144,44 @@ def test_eval_step():
     ev = make_eval_step(model.apply, cfg)
     br = ev(params, batch)
     assert np.isfinite(float(br.total))
+
+
+def test_transolver_train_step():
+    from pbml_mantle_convection_tpu.data import (
+        UnstructuredDataset, synthetic_store)
+    from pbml_mantle_convection_tpu.models import TransolverStructured2D
+
+    store = synthetic_store(n_snapshots=4)
+    ds = UnstructuredDataset(store, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    batch = ds.batch(rng, 2)
+    H, W = store.T.shape[1:]
+    model = TransolverStructured2D(H=H, W=W, fun_dim=5, n_layers=1,
+                                   n_hidden=8, n_head=2, slice_num=4,
+                                   p_pred=False)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="transolver_structured", loss_type="curl")
+    step = make_train_step(model.apply, opt, cfg)
+    params, _, br = step(params, opt.init(params), batch)
+    assert np.isfinite(float(br.total))
+
+
+def test_convae_train_step():
+    from pbml_mantle_convection_tpu.data import (
+        ConvAEDataset, synthetic_store)
+    from pbml_mantle_convection_tpu.models import ConvAE
+
+    store = synthetic_store(n_snapshots=4, grid=None)
+    ds = ConvAEDataset(store, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    batch = ds.batch(rng, 2)
+    assert batch["x"].shape[-1] == 3
+    model = ConvAE(levels=1, c_i=3, c_h=4, c_o=3, loss_type="curl",
+                   repeats=1, p_pred=False)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="convae", loss_type="curl")
+    step = make_train_step(model.apply, opt, cfg)
+    params, _, br = step(params, opt.init(params), batch)
+    assert np.isfinite(float(br.total))

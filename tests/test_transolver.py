@@ -88,3 +88,22 @@ class TestRegistry:
         params = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(params, x)
         assert out is not None
+
+
+def test_physics_attention_3d():
+    from pbml_mantle_convection_tpu.models.transolver import (
+        PhysicsAttentionStructuredMesh3D)
+    m = PhysicsAttentionStructuredMesh3D(dim=8, H=4, W=5, D=6, heads=2,
+                                         dim_head=4, slice_num=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 120, 8)))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (1, 120, 8)
+
+
+def test_experiment_registry_shapes():
+    from pbml_mantle_convection_tpu.train.experiments import EXPERIMENTS
+    assert "newfluidnet_flagship" in EXPERIMENTS
+    assert len(EXPERIMENTS) >= 15
+    for name, argv in EXPERIMENTS.items():
+        assert "-net" in argv or "transolver" in name or "vit" == name
