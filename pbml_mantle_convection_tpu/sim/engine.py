@@ -149,8 +149,27 @@ class SimEngine:
             src = src - self.Di * v[..., 1:-1, 1:-1] * T[..., 1:-1, 1:-1]
         return src
 
+    def step_unet(self, state: SimState) -> SimState:
+        """One coupled U-Net step: the network advances (u, v, T) jointly;
+        dt comes from the driver-level CFL rule
+        (advect_wi_gaia.py:734-797, ``attempt_unet``)."""
+        s = self.stepper.scaler
+        u_prev = state.u / s
+        v_prev = state.v / s
+        dt = self.stepper.unet_dt(u_prev, v_prev)
+        T_new, u, v, p, V = self.stepper.step_unet(
+            state.T, u_prev, v_prev, dt)
+        if p is None:
+            p = state.p
+        return SimState(
+            T=T_new, u=u, v=v, p=p, V=V,
+            t=state.t + dt, dt=dt, n_step=state.n_step + 1,
+            T_core=state.T_core)
+
     def step(self, state: SimState) -> SimState:
         """One coupled simulation step, pure and jittable."""
+        if self.stepper.net in ("unet", "iunet") and self.mode != "GAIA":
+            return self.step_unet(state)
         T = state.T
 
         if self.mode == "GAIA":

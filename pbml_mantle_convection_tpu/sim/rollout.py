@@ -114,8 +114,19 @@ def rollout_native(
     snapshots["xcc"] = np.copy(state["pos"][:, 0]).reshape(H, W)
     snapshots["ycc"] = np.copy(state["pos"][:, 1]).reshape(H, W)
 
+    is_unet = stepper is not None and stepper.net in ("unet", "iunet")
     ml_step = None
-    if stepper is not None:
+    unet_step = None
+    if is_unet:
+        # the reference's attempt_unet: driver-level CFL dt, the network
+        # advances T itself; GAIA only holds state (advect_wi_gaia.py:
+        # 734-797)
+        def _unet(T, u_prev, v_prev):
+            dt = stepper.unet_dt(u_prev, v_prev)
+            T_new, u, v, p, V = stepper.step_unet(T, u_prev, v_prev, dt)
+            return T_new, dt, u, v, p, V
+        unet_step = jax.jit(_unet)
+    elif stepper is not None:
         # jitted: T (1,H,W) -> (T_new, dt, u, v, p, V)
         ml_step = jax.jit(lambda T: stepper.step(T))
 
@@ -127,7 +138,29 @@ def rollout_native(
         n_step += 1
         t0 = time.time()
 
-        if mode != "GAIA":
+        if mode != "GAIA" and is_unet:
+            s = float(stepper.scaler)
+            Tp = jnp.asarray(state["T"], stepper.dtype).reshape(1, H, W)
+            up = jnp.asarray(state["v"][:, 0], stepper.dtype
+                             ).reshape(1, H, W) / s
+            vp = jnp.asarray(state["v"][:, 1], stepper.dtype
+                             ).reshape(1, H, W) / s
+            T_new, dt, u, v, p, V = unet_step(Tp, up, vp)
+            state["v"][:, 0] = np.asarray(u).reshape(-1)
+            state["v"][:, 1] = np.asarray(v).reshape(-1)
+            state["v"][:, 2] = 0.0
+            state["V"][:] = np.asarray(V).reshape(-1)
+            Tg = np.array(T_new).reshape(H, W)  # writable copy
+            if not core_cool:
+                Tg[0, :] = 1.0
+            Tg[-1, :] = 0.0
+            Tg[:, 0] = Tg[:, 1]
+            Tg[:, -1] = Tg[:, -2]
+            np.clip(Tg, 0.0, 2.0, out=Tg)
+            state["T"][:] = Tg.reshape(-1)
+            state["raw"].time = t
+            dt = float(dt)
+        elif mode != "GAIA":
             Tp = jnp.asarray(state["T"], stepper.dtype).reshape(1, H, W)
             T_new, dt_ml, u, v, p, V = ml_step(Tp)
             u = np.asarray(u)

@@ -102,3 +102,40 @@ def test_radioactive_decay_reduces_heating_rate():
     _, t2, _ = e2.rollout(s2, 150)
     # decay(t>0) < 1 ⇒ less heating accumulated
     assert float(t2.mean_T[-1]) < float(t1.mean_T[-1])
+
+
+def test_unet_engine_rollout():
+    """Coupled U-Net rollout (the reference's attempt_unet,
+    advect_wi_gaia.py:681-833) as a lax.scan."""
+    from pbml_mantle_convection_tpu.models import Unet
+
+    grid = Grid(H=24, W=34)
+    params = SimParams(raq=2.0, fkt=1e7, fkp=3.0)
+    model = Unet(levels=2, c_i=10, c_h=8, c_o=2, loss_type="curl",
+                 repeats=1, f=5, p_pred=False)
+    x0 = jnp.zeros((1, grid.H, grid.W, 10), jnp.float64)
+    w = model.init(jax.random.PRNGKey(0), x0)
+
+    def apply_fn(x):
+        return model.apply(w, x)
+
+    stepper = TimeStepper(grid=grid, params=params, apply_fn=apply_fn,
+                          net="unet", dtype=jnp.float64)
+    eng = SimEngine(grid=grid, params=params, stepper=stepper,
+                    mode="ML", dtype=jnp.float64)
+    state = eng.init_state(1.0 - eng.grid.yc[None])
+    state, trace, _ = eng.rollout(state, 10)
+    assert np.all(np.isfinite(np.asarray(trace.mean_T)))
+    T = np.asarray(state.T[0])
+    assert np.allclose(T[0], 1.0) and np.allclose(T[-1], 0.0)
+    assert float(state.t) > 0
+
+
+def test_batched_multi_sim_rollout():
+    """B>1 simultaneous simulations in one scan (TPU-native capability)."""
+    eng = _make_engine()
+    T0 = jnp.stack([1.0 - eng.grid.yc, 0.5 * (1.0 - eng.grid.yc)])
+    state = eng.init_state(T0)
+    state, trace, _ = eng.rollout(state, 20)
+    assert state.T.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(state.T)))

@@ -87,3 +87,67 @@ def test_engine_gaia_mode_with_pt_stokes():
     state, trace, _ = engine.rollout(state, 20)
     assert np.all(np.isfinite(np.asarray(trace.mean_T)))
     assert float(jnp.max(jnp.abs(state.u))) > 0  # flow developed
+
+
+def test_one_epoch_functional():
+    import optax
+    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.train.functional import one_epoch
+    from pbml_mantle_convection_tpu.train.train_step import (
+        TrainStepConfig, make_eval_step, make_train_step)
+
+    store = synthetic_store(n_snapshots=6)
+    ds = SnapshotDataset(store, dtype=jnp.float64)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
+                        repeats=1, p_pred=False)
+    rng = np.random.default_rng(0)
+    b0 = ds.batch(rng, 2)
+    params = __import__("jax").random.PRNGKey(0)
+    import jax
+    params = model.init(jax.random.PRNGKey(0), b0["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="newfluidnet")
+    step = make_train_step(model.apply, opt, cfg)
+    ev = make_eval_step(model.apply, cfg)
+    params, opt_state, tr = one_epoch(params, opt.init(params), ds, rng, 3,
+                                      train_step=step)
+    _, _, cv = one_epoch(params, opt_state, ds, rng, 3, eval_step=ev)
+    assert np.isfinite(tr[0]) and np.isfinite(cv[0])
+
+
+def test_native_unet_rollout():
+    """attempt_unet against the native engine (advect_wi_gaia.py:681-833)."""
+    import jax
+    from pbml_mantle_convection_tpu.models import Unet
+    from pbml_mantle_convection_tpu.sim.ini import (
+        GaiaIniConfig, create_ini_file)
+    from pbml_mantle_convection_tpu.sim.rollout import rollout_native
+    from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    try:
+        from pbml_mantle_convection_tpu.sim.gaia_native import Direct
+    except Exception as e:
+        import pytest
+        pytest.skip(f"native build unavailable: {e}")
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    ini = os.path.join(tmp, "Gaia.ini")
+    create_ini_file(ini, GaiaIniConfig(raq=2.0, fkt=1e6, fkp=2.0,
+                                       layers=22, aspect_ratio=1.5))
+    sim = Direct(); sim.init1(); sim.iniLoad(ini); sim.init2()
+    H, W = sim.shape
+
+    grid = Grid(H=H, W=W, aspect=1.5)
+    params = SimParams(2.0, 1e6, 2.0)
+    model = Unet(levels=2, c_i=10, c_h=8, c_o=2, loss_type="curl",
+                 repeats=1, f=5, p_pred=False)
+    x0 = jnp.zeros((1, H, W, 10), jnp.float64)
+    w = model.init(jax.random.PRNGKey(0), x0)
+    stepper = TimeStepper(grid=grid, params=params,
+                          apply_fn=lambda x: model.apply(w, x),
+                          net="unet", dtype=jnp.float64)
+    t, n, snaps, T_vec, t_vec, TS_vec = rollout_native(
+        sim, stepper, mode="ML", t_end=10.0, max_steps=5)
+    assert n == 5 and t > 0
+    assert np.isfinite(T_vec).all()
