@@ -42,3 +42,27 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     """Place a host batch with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def maybe_initialize_distributed(**kwargs) -> bool:
+    """Initialize multi-host JAX (DCN) when running under a multi-process
+    launcher; no-op single-host. The reference's MASTER_ADDR/NCCL process
+    group (multigpu.py:16-34) maps to ``jax.distributed.initialize`` — XLA
+    then routes collectives over ICI within a slice and DCN across hosts.
+    """
+    import os
+    if int(os.environ.get("JAX_PROCESS_COUNT",
+                          os.environ.get("SLURM_NTASKS", "1"))) <= 1:
+        return False
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def shard_host_local_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
+    """Multi-host data sharding: each process contributes its local shard
+    of the global batch (the reference's per-rank sim-list chunking,
+    multigpu.py:694-707, done with global arrays instead)."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

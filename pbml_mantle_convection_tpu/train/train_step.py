@@ -31,6 +31,9 @@ class TrainStepConfig:
     loss_derivative: bool = False
     loss_type: str = "curl"
     roll_forward: int = 1
+    # rematerialize the forward pass in the backward pass (trade FLOPs for
+    # HBM) — lets large grids / deep roll_forward unrolls fit on chip.
+    remat: bool = False
 
 
 def _fluidnet_loss_fn(apply_fn, cfg: TrainStepConfig):
@@ -120,6 +123,8 @@ def _convae_loss_fn(apply_fn, cfg: TrainStepConfig):
 
 
 def make_loss_fn(apply_fn: Callable, cfg: TrainStepConfig):
+    if cfg.remat:
+        apply_fn = jax.checkpoint(apply_fn)
     if cfg.net in ("unet", "iunet"):
         return _unet_loss_fn(apply_fn, cfg)
     if "transolver" in cfg.net or cfg.net == "vit":

@@ -185,3 +185,21 @@ def test_convae_train_step():
     step = make_train_step(model.apply, opt, cfg)
     params, _, br = step(params, opt.init(params), batch)
     assert np.isfinite(float(br.total))
+
+
+def test_remat_train_step_matches():
+    """remat=True must give identical updates (FLOPs-for-memory only)."""
+    rng = np.random.default_rng(9)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
+                        repeats=1, p_pred=False)
+    batch = _tiny_batch(rng, 2)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    p1, _, b1 = make_train_step(model.apply, opt, TrainStepConfig())(
+        params, opt.init(params), batch)
+    p2, _, b2 = make_train_step(model.apply, opt,
+                                TrainStepConfig(remat=True))(
+        params, opt.init(params), batch)
+    np.testing.assert_allclose(float(b1.total), float(b2.total), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
