@@ -20,7 +20,7 @@ synthetic stores for tests/benchmarks are in data/synthetic.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

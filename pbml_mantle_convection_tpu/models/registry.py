@@ -10,9 +10,7 @@ vit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
-
-import jax.numpy as jnp
+from typing import Any, Sequence, Tuple
 
 from .fluidnet import (FluidNet, HalfNewFluidNet, MultiScaleNewFluidNet,
                        NewFluidNet)

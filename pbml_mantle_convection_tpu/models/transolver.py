@@ -15,7 +15,6 @@ reference implementation for the kernel's tests.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -18,9 +18,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.curl import curl_head_padded
+from ..ops.curl import curl_head_padded, gaussian_blur_5x9
 from ..ops.resize import avg_pool_nhwc, resize_bicubic_nhwc
-from ..ops.stencils import replicate_pad
 from .layers import (
     BoundaryLearnedConvolution2D,
     Conv2dTorch,
@@ -153,6 +152,8 @@ class Unet(nn.Module):
 
         # curl head (pytorch_networks_convae.py:2038-2068)
         a = y[..., 0] * self.a_bound
+        if self.blurr:
+            a = gaussian_blur_5x9(a)
         T = jnp.clip(y[..., 1], 0.0, 1.5)
         p = y[..., 2] if self.p_pred else None
         u, v = curl_head_padded(a)

@@ -75,6 +75,34 @@ def curl_head_valid(a):
     return u, v
 
 
+def gaussian_blur_5x9(a, sigma: float = 2.55):
+    """Separable 5×9 Gaussian blur on a [..., H, W] field.
+
+    Stand-in for the reference Unet's ``v2.GaussianBlur(kernel_size=(5, 9),
+    sigma=(0.1, 5.0))`` (pytorch_networks_convae.py:1800-1801). The torch
+    transform samples sigma randomly per call — even in eval — which is not
+    reproducible; we use the fixed range midpoint. Replicate-padded edges.
+    """
+    import numpy as np
+
+    def kern(n):
+        x = np.arange(n) - (n - 1) / 2.0
+        k = np.exp(-0.5 * (x / sigma) ** 2)
+        return jnp.asarray(k / k.sum(), a.dtype)
+
+    ky = kern(5)
+    kx = kern(9)
+    p = replicate_pad(a, (4, 4, 2, 2))
+    out = jnp.zeros_like(a)
+    for i in range(5):
+        out = out + ky[i] * p[..., i:i + a.shape[-2], 4:4 + a.shape[-1]]
+    p2 = replicate_pad(out, (4, 4, 0, 0))
+    out = jnp.zeros_like(a)
+    for j in range(9):
+        out = out + kx[j] * p2[..., :, j:j + a.shape[-1]]
+    return out
+
+
 def blur3x3(a):
     """Replicate-pad + 3×3 box blur on the stream function.
 

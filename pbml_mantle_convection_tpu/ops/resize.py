@@ -15,7 +15,6 @@ import functools
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:

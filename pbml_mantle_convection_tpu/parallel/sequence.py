@@ -17,8 +17,6 @@ verifiable against the module: ``physics_attention_ref`` == gather ∘
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -36,7 +36,6 @@ import numpy as np
 
 from ..constants import SimParams
 from ..ops.stencils import stamp_temperature_bc
-from ..physics.advection import advect_diffuse_step
 from .grid import Grid
 from .stepper import TimeStepper
 

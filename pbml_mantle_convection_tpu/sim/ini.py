@@ -13,8 +13,6 @@ radioactive-decay constants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 
 @dataclasses.dataclass(frozen=True)
 class GaiaIniConfig:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from ..utils.checkpoint import save_pickle
 from .engine import SimEngine
-from .grid import Grid
 from .stepper import TimeStepper
 
 

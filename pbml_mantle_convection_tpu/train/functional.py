@@ -8,7 +8,7 @@ prebuilt train/eval step — no Trainer object, no checkpointing.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -9,8 +9,7 @@ data parallelism is a ``shard_map`` over a 1-D mesh with gradient ``pmean``
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -31,7 +31,6 @@ import optax
 from ..models.registry import ModelConfig, build_model
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
-from .losses import LossBreakdown
 from .train_step import TrainStepConfig, make_eval_step, make_train_step
 
 LOG_HEADER = "Epoch, train loss, val loss, learning rate \n"

@@ -9,7 +9,7 @@ GAIA, Pearson correlations, per-study ablations).
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 import jax
