@@ -54,8 +54,8 @@ struct Config {
                            0.07981198571490902, 0.55520600841564};
   double bc_bottom = 1.0;  // BCBottomHValue
   double bc_top = 0.0;     // BCTopHValue
-  std::string read_ascii_T;  // ReadASCII/Field/T profile file
-  bool use_ascii_profile = false;
+  std::string read_ascii_T;   // ReadASCII/Field/T profile file
+  bool use_ascii_profile = false;  // set only via MCInit (like real GAIA)
 };
 
 std::string trim(const std::string& s) {
@@ -116,8 +116,9 @@ struct Engine {
     else if (key == "BCTopHValue") cfg.bc_top = d();
     else if (key == "Core/rhoCpVar") cfg.core_rhocp_var = d();
     else if (key == "ReadASCII/Field/T") {
+      // only names the profile file; activation requires ReadASCII in
+      // MCInit (prepare_gaia_ini.py:64-67 — real GAIA behaves the same)
       cfg.read_ascii_T = val;
-      cfg.use_ascii_profile = true;
     } else if (key == "MCPostTS") {
       if (val.find("Core/Cooling") != std::string::npos)
         cfg.core_cool = true;

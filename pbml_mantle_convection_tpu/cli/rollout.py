@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", type=str, default="jax",
                    choices=["jax", "native"])
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--fast", type=int, default=1,
+                   help="use the space-to-depth fast executor for "
+                        "newfluidnet (exact; PERF.md)")
     return p
 
 
@@ -117,7 +120,13 @@ def main(argv=None):
             ckpt = os.path.join(args.nn_dir, f"{epoch}_fluidnet_uvp.ckpt")
             weights = restore_checkpoint(ckpt)["params"]
             print(f"loaded epoch {epoch}")
-        apply_fn = lambda x: model.apply(weights, x)  # noqa: E731
+        if (args.fast and args.network == "newfluidnet"
+                and args.r_p in ("learned", "zeros")
+                and not args.use_symm):
+            from ..models.fast_path import FastNewFluidNet
+            apply_fn = FastNewFluidNet(model, weights, grid.H, grid.W)
+        else:
+            apply_fn = lambda x: model.apply(weights, x)  # noqa: E731
 
     stepper = None
     if apply_fn is not None:

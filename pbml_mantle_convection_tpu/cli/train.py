@@ -118,7 +118,7 @@ def main(argv=None):
         cv_ds = TimePairDataset(cv_store, roll_forward=args.roll_forward,
                                 p_pred=bool(args.p_pred))
         init_tr = init_cv = None
-    elif "transolver" in args.network or args.network == "vit":
+    elif "transolver" in args.network:
         from ..data import UnstructuredDataset
         train_ds = UnstructuredDataset(tr_store, scale=bool(args.scale),
                                        p_pred=bool(args.p_pred))

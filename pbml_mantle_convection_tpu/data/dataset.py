@@ -342,6 +342,13 @@ class TimePairDataset:
         chans = [xc, yc, jnp.broadcast_to(dt, T0.shape),
                  plane(paras_nd[:, 0]), plane(paras_nd[:, 1]),
                  plane(paras_nd[:, 2]), Vf, T0, u0 / scaler, v0 / scaler]
+        if self.p_pred:
+            # 11th channel: previous pressure, passthrough-scaled
+            # (scaler.py:27-28). NOTE: the reference's ADTimeDataset
+            # declares c_i=11 for p_pred but never assembles the channel
+            # (datasetio.py:258-274 builds 10) — its p_pred U-Net cannot
+            # run; we complete the contract instead.
+            chans.append(self._p[idx0])
         x = jnp.stack(chans, axis=-1)
 
         ys = [self._u[idx1] / scaler, self._v[idx1] / scaler]

@@ -29,8 +29,8 @@ def split_select_init(store: SnapshotStore, rng: np.random.Generator
         n_times = len(where) + 2
         sel = select_snapshot_indices(n_times, rng, is_init=False)
         init = select_snapshot_indices(n_times, rng, is_init=True)
-        sel = sel[sel < len(where)]
-        init = init[init < len(where)]
+        sel = sel[sel - 1 < len(where)]
+        init = init[init - 1 < len(where)]
         sel_all.append(where[sel - 1])   # i_vec counts from step 1
         init_all.append(where[init - 1])
     return np.concatenate(sel_all), np.concatenate(init_all)

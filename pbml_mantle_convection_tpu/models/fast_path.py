@@ -148,6 +148,10 @@ class FastNewFluidNet:
             raise ValueError("fast path supports r_p in {learned, zeros}")
         if model.spectral_conv or model.drop_rate:
             raise ValueError("fast path: no spectral/dropout support")
+        if model.use_symm or model.dilation != 1:
+            raise ValueError(
+                "fast path supports use_symm=False, dilation=1 (the "
+                "symmetric-conv unique-weight layout is not transformed)")
 
         k = model.f
         self.stem = _prep_layer(p["conv_0"], learned, k, f, dtype)

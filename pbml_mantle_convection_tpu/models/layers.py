@@ -210,8 +210,10 @@ class SymmetricConv2d(nn.Module):
             )
 
         if self.padding == "SAME":
-            ph = (k - 1) // 2 * self.dilation
-            x = pad_nhwc(x, (ph, k - 1 - ph), (ph, k - 1 - ph), self.pad_mode)
+            total = self.dilation * (k - 1)
+            ph = total // 2
+            x = pad_nhwc(x, (ph, total - ph), (ph, total - ph),
+                         self.pad_mode)
         return conv2d_nhwc(x, kernel, bias, padding="VALID",
                            dilation=self.dilation)
 
@@ -339,9 +341,10 @@ class Conv2dTorch(nn.Module):
             ph, pw = self.explicit_padding
             x = pad_nhwc(x, (ph, ph), (pw, pw), self.pad_mode)
         elif self.padding == "SAME":
-            ph = (k - 1) // 2 * self.dilation
-            pw = k - 1 - ph
-            x = pad_nhwc(x, (ph, pw), (ph, pw), self.pad_mode)
+            total = self.dilation * (k - 1)
+            ph = total // 2
+            x = pad_nhwc(x, (ph, total - ph), (ph, total - ph),
+                         self.pad_mode)
         return conv2d_nhwc(x, kernel, bias, padding="VALID",
                            dilation=self.dilation)
 

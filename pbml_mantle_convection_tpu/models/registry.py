@@ -139,9 +139,13 @@ def build_model(cfg: ModelConfig):
             a_bound=cfg.a_bound, p_pred=cfg.p_pred, kernel=3,
             dtype=cfg.dtype)
     if net == "vit":
-        return ViT(image_size=(cfg.H, cfg.W), patch_size=(8, 8),
-                   num_classes=max(1, c_o), dim=cfg.n_hidden,
-                   depth=cfg.n_layers, heads=cfg.n_head,
-                   mlp_dim=cfg.n_hidden * 2, channels=c_i,
-                   dtype=cfg.dtype)
+        from .vit import ViTField
+        # patch size must divide the grid; fall back to a compatible one
+        ph = 8 if cfg.H % 8 == 0 else 2
+        pw = 8 if cfg.W % 8 == 0 else 2
+        return ViTField(image_size=(cfg.H, cfg.W), patch_size=(ph, pw),
+                        c_o=3 if cfg.p_pred else 2,
+                        dim=cfg.n_hidden, depth=cfg.n_layers,
+                        heads=cfg.n_head, mlp_dim=cfg.n_hidden * 2,
+                        channels=c_i, p_pred=cfg.p_pred, dtype=cfg.dtype)
     raise ValueError(f"unknown network {net!r}")

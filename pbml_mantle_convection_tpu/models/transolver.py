@@ -362,6 +362,9 @@ class TransolverStructured2D(nn.Module):
 
         fx = fx.reshape(-1, self.H, self.W, self.out_dim)
         a = fx[..., 0] * self.a_bound
+        # NOTE: the reference returns channel 0 (the stream function) as
+        # "pressure" (Transolver_Structured_Mesh_2D-checkpoint.py:197) —
+        # a preserved reference quirk; channel 1 is unused under p_pred.
         p = fx[:, 1:-1, 1:-1, 0] if self.p_pred else None
         u, v = curl_head_valid(a)
         return u, v, p

@@ -87,6 +87,41 @@ class Transformer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
 
 
+class ViTField(nn.Module):
+    """ViT with a field-regression head: image (B, H, W, C) →
+    (u, v, p|None) fields of shape (B, H, W).
+
+    The reference trains its stock ViT on the uvpT task through
+    ``one_epoch_AD`` (train_uvpT_vit-checkpoint.ipynb) with the mlp head
+    regressing the flattened output fields; this wrapper makes that wiring
+    explicit and runnable.
+    """
+
+    image_size: Tuple[int, int]
+    patch_size: Tuple[int, int] = (8, 8)
+    c_o: int = 2
+    dim: int = 128
+    depth: int = 4
+    heads: int = 4
+    mlp_dim: int = 256
+    channels: int = 7
+    p_pred: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, img):
+        H, W = self.image_size
+        y = ViT(image_size=self.image_size, patch_size=self.patch_size,
+                num_classes=self.c_o * H * W, dim=self.dim,
+                depth=self.depth, heads=self.heads, mlp_dim=self.mlp_dim,
+                channels=self.channels, dtype=self.dtype, name="vit")(img)
+        y = y.reshape(-1, self.c_o, H, W)
+        u = y[:, 0]
+        v = y[:, 1]
+        p = y[:, 2] if (self.p_pred and self.c_o > 2) else None
+        return u, v, p
+
+
 class ViT(nn.Module):
     """image (B, H, W, C) → (B, num_classes)."""
 

@@ -82,33 +82,33 @@ def resize_bicubic_nhwc(x, out_hw, a: float = -0.75,
     return y
 
 
+@functools.lru_cache(maxsize=None)
+def _lin_matrix_np(in_size: int, out_size: int,
+                   align_corners: bool = False) -> np.ndarray:
+    if in_size == out_size:
+        return np.eye(in_size)
+    M = np.zeros((out_size, in_size), dtype=np.float64)
+    if align_corners and out_size > 1:
+        src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        src = np.clip((np.arange(out_size) + 0.5) * in_size / out_size - 0.5,
+                      0, in_size - 1)
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    hi = np.clip(base + 1, 0, in_size - 1)
+    np.add.at(M, (np.arange(out_size), base), 1.0 - frac)
+    np.add.at(M, (np.arange(out_size), hi), frac)
+    return M
+
+
 def resize_bilinear_nhwc(x, out_hw, align_corners: bool = False):
     """Bilinear resize (used by the reference's ``up_layer``,
     datasetio.py:94)."""
-    # Bilinear = cubic machinery with a triangular kernel; build directly.
     H, W = x.shape[1], x.shape[2]
     out_h, out_w = out_hw
     dt = x.dtype
-
-    @functools.lru_cache(maxsize=None)
-    def lin_matrix(in_size, out_size):
-        if in_size == out_size:
-            return np.eye(in_size)
-        M = np.zeros((out_size, in_size), dtype=np.float64)
-        if align_corners and out_size > 1:
-            src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
-        else:
-            src = np.clip((np.arange(out_size) + 0.5) * in_size / out_size - 0.5,
-                          0, in_size - 1)
-        base = np.floor(src).astype(np.int64)
-        frac = src - base
-        hi = np.clip(base + 1, 0, in_size - 1)
-        np.add.at(M, (np.arange(out_size), base), 1.0 - frac)
-        np.add.at(M, (np.arange(out_size), hi), frac)
-        return M
-
-    My = jnp.asarray(lin_matrix(H, out_h), dtype=dt)
-    Mx = jnp.asarray(lin_matrix(W, out_w), dtype=dt)
+    My = jnp.asarray(_lin_matrix_np(H, out_h, align_corners), dtype=dt)
+    Mx = jnp.asarray(_lin_matrix_np(W, out_w, align_corners), dtype=dt)
     y = jnp.einsum("oh,bhwc->bowc", My, x)
     y = jnp.einsum("pw,bowc->bopc", Mx, y)
     return y

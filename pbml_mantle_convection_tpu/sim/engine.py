@@ -156,8 +156,9 @@ class SimEngine:
         u_prev = state.u / s
         v_prev = state.v / s
         dt = self.stepper.unet_dt(u_prev, v_prev)
+        p_prev = state.p if self.stepper.unet_p_pred else None
         T_new, u, v, p, V = self.stepper.step_unet(
-            state.T, u_prev, v_prev, dt)
+            state.T, u_prev, v_prev, dt, p_prev=p_prev)
         if p is None:
             p = state.p
         return SimState(

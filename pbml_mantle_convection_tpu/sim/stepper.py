@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..constants import (
     COORD_SCALE, SimParams, velocity_scaler, visc_feature)
 from ..ops.stencils import stamp_temperature_bc
-from ..physics.advection import GridMetrics, advect_diffuse_step
+from ..physics.advection import (
+    GridMetrics, advect_diffuse_step, grid_metrics)
 from ..physics.viscosity import fk_viscosity
 from .grid import Grid
 
@@ -77,10 +78,11 @@ def assemble_fluidnet_input(T, static: StaticFields, params: SimParams):
 
 
 def assemble_unet_input(T, u_prev, v_prev, dt, static: StaticFields,
-                        params: SimParams):
+                        params: SimParams, p_prev=None):
     """10/11-channel NHWC U-Net input (xc/4, yc/4, dt, raq_nd, fkt_nd,
-    fkp_nd, log10(V)/8, T, u_prev, v_prev) — reference:
-    pytorch_networks_convae.py:419-441, datasetio.py:258-274."""
+    fkp_nd, log10(V)/8, T, u_prev, v_prev[, p_prev]) — reference:
+    pytorch_networks_convae.py:419-441, datasetio.py:258-274 (the
+    reference never assembles the 11th p channel; see TimePairDataset)."""
     yc = static.yc_feat * COORD_SCALE
     V = fk_viscosity(jnp.asarray(params.fkt, T.dtype),
                      jnp.asarray(params.fkp, T.dtype), 1.0 - yc, T)
@@ -91,12 +93,12 @@ def assemble_unet_input(T, u_prev, v_prev, dt, static: StaticFields,
         return jnp.broadcast_to(p, (b,) + p.shape)
 
     dt_plane = jnp.broadcast_to(jnp.asarray(dt, T.dtype), T.shape)
-    x = jnp.stack(
-        [bcast(static.xc_feat), bcast(static.yc_feat), dt_plane,
-         bcast(static.raq_nd), bcast(static.fkt_nd), bcast(static.fkp_nd),
-         Vf, T, u_prev, v_prev],
-        axis=-1,
-    )
+    chans = [bcast(static.xc_feat), bcast(static.yc_feat), dt_plane,
+             bcast(static.raq_nd), bcast(static.fkt_nd),
+             bcast(static.fkp_nd), Vf, T, u_prev, v_prev]
+    if p_prev is not None:
+        chans.append(p_prev)
+    x = jnp.stack(chans, axis=-1)
     return x, V
 
 
@@ -112,6 +114,7 @@ class TimeStepper:
     params: SimParams
     apply_fn: Callable[..., Any]
     net: str = "newfluidnet"
+    unet_p_pred: bool = False     # feed the 11th (p_prev) U-Net channel
     advect: bool = True           # run the AD temperature update (mode "ML")
     cn_max: float = 0.99
     core_cool: bool = False
@@ -134,14 +137,11 @@ class TimeStepper:
         object.__setattr__(self, "_static",
                            make_static_fields(self.grid, self.params,
                                               self.dtype))
-        xc = self.grid.xc.astype(self.dtype)
-        yc = self.grid.yc.astype(self.dtype)
-        object.__setattr__(self, "_metrics",
-                           GridMetrics(
-                               dx_l=(xc[:, 1:-1] - xc[:, :-2])[1:-1, :],
-                               dx_r=(xc[:, 2:] - xc[:, 1:-1])[1:-1, :],
-                               dy_t=(yc[1:-1, :] - yc[:-2, :])[:, 1:-1],
-                               dy_b=(yc[2:, :] - yc[1:-1, :])[:, 1:-1]))
+        object.__setattr__(
+            self, "_metrics",
+            grid_metrics(self.grid.xc.astype(self.dtype),
+                         self.grid.yc.astype(self.dtype),
+                         aspect=self.grid.aspect))
 
     @property
     def scaler(self):
@@ -188,7 +188,7 @@ class TimeStepper:
         dt_diffuse = 0.5 * (dx_min * dx_min) ** 2 / (2.0 * dx_min**2)
         return jnp.minimum(dt_advect, dt_diffuse)
 
-    def step_unet(self, T, u_prev, v_prev, dt):
+    def step_unet(self, T, u_prev, v_prev, dt, p_prev=None):
         """One coupled step for the U-Net: the network predicts both the
         stream function and the new temperature. u_prev/v_prev are in
         scaled units. Reference: pytorch_networks_convae.py:419-451,
@@ -197,7 +197,7 @@ class TimeStepper:
         Returns (T_new, u, v, p, V) with u, v unscaled (physical).
         """
         x, V = assemble_unet_input(T, u_prev, v_prev, dt, self._static,
-                                   self.params)
+                                   self.params, p_prev=p_prev)
         u, v, p, T_new = self.apply_fn(x)
         T_new = stamp_temperature_bc(T_new, core_cool=self.core_cool)
         T_new = jnp.clip(T_new, 0.0, 2.0)

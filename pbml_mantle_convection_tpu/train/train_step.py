@@ -46,7 +46,7 @@ def _fluidnet_loss_fn(apply_fn, cfg: TrainStepConfig):
     return loss_fn
 
 
-def _unet_reassemble(x, T, u, v, paras, yc, roll_forward):
+def _unet_reassemble(x, T, u, v, paras, yc, roll_forward, p=None):
     """Re-assemble the 10/11-channel U-Net input from predictions, with
     the viscosity recomputed from the (detached) predicted temperature
     (multigpu.py:208-232). x channel order:
@@ -56,9 +56,13 @@ def _unet_reassemble(x, T, u, v, paras, yc, roll_forward):
                      1.0 - yc, T)
     Vf = visc_feature(V)
     dt = x[..., 2] / roll_forward
-    return jnp.stack(
-        [x[..., 0], x[..., 1], dt, x[..., 3], x[..., 4], x[..., 5],
-         Vf, T, u, v], axis=-1)
+    chans = [x[..., 0], x[..., 1], dt, x[..., 3], x[..., 4], x[..., 5],
+             Vf, T, u, v]
+    if p is not None and x.shape[-1] > 10:
+        chans.append(jax.lax.stop_gradient(p))
+    elif x.shape[-1] > 10:
+        chans.append(x[..., 10])
+    return jnp.stack(chans, axis=-1)
 
 
 def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
@@ -73,7 +77,8 @@ def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
         v = x[..., 9]
         p = None
         for r in range(cfg.roll_forward):
-            xi = _unet_reassemble(x, T, u, v, paras, yc, cfg.roll_forward)
+            xi = _unet_reassemble(x, T, u, v, paras, yc, cfg.roll_forward,
+                                  p=p)
             if r < cfg.roll_forward - 1:
                 u, v, p, T = jax.lax.stop_gradient(
                     apply_fn(params, xi))
@@ -126,8 +131,10 @@ def make_loss_fn(apply_fn: Callable, cfg: TrainStepConfig):
         apply_fn = jax.checkpoint(apply_fn)
     if cfg.net in ("unet", "iunet"):
         return _unet_loss_fn(apply_fn, cfg)
-    if "transolver" in cfg.net or cfg.net == "vit":
+    if "transolver" in cfg.net:
         return _transolver_loss_fn(apply_fn, cfg)
+    if cfg.net == "vit":
+        return _fluidnet_loss_fn(apply_fn, cfg)
     if cfg.net == "convae":
         return _convae_loss_fn(apply_fn, cfg)
     return _fluidnet_loss_fn(apply_fn, cfg)

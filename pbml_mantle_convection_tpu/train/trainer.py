@@ -183,15 +183,20 @@ class Trainer:
             return shard_batch(self.mesh, batch)
         return batch
 
-    def _mix_init(self, batch, init_iter):
+    def _mix_init(self, batch, init_source):
         """Concatenate a small init batch and shuffle
-        (multigpu.py:351-361)."""
-        if init_iter is None:
+        (multigpu.py:351-361). The init stream cycles — the reference
+        re-creates its loader iterator every batch (multigpu.py:354) and
+        never exhausts it; a shrinking batch would also break shard_map
+        divisibility and force recompiles."""
+        if init_source is None:
             return batch
+        dataset, it = init_source
         try:
-            init_batch = next(init_iter)
+            init_batch = next(it[0])
         except StopIteration:
-            return batch
+            it[0] = dataset.epoch_batches(self.rng, self.small_batch)
+            init_batch = next(it[0])
         import jax.numpy as jnp
         keys = set(batch) & set(init_batch)
         merged = {k: jnp.concatenate((batch[k], init_batch[k]), axis=0)
@@ -217,11 +222,13 @@ class Trainer:
 
         losses = np.zeros(6)
         n = 0
-        init_iter = (self.train_data_init.epoch_batches(
-            self.rng, self.small_batch)
-            if self.train_data_init is not None else None)
+        init_src = None
+        if self.train_data_init is not None:
+            init_src = (self.train_data_init,
+                        [self.train_data_init.epoch_batches(
+                            self.rng, self.small_batch)])
         for batch in self.train_data.epoch_batches(self.rng, bs):
-            batch = self._mix_init(batch, init_iter)
+            batch = self._mix_init(batch, init_src)
             if self.params is None:
                 self._init_params(batch)
                 self._set_lr(epoch)
@@ -234,11 +241,13 @@ class Trainer:
 
         losses_cv = np.zeros(6)
         n_cv = 0
-        init_iter = (self.cv_data_init.epoch_batches(
-            self.rng, self.small_batch)
-            if self.cv_data_init is not None else None)
+        init_src = None
+        if self.cv_data_init is not None:
+            init_src = (self.cv_data_init,
+                        [self.cv_data_init.epoch_batches(
+                            self.rng, self.small_batch)])
         for batch in self.cv_data.epoch_batches(self.rng, bs):
-            batch = self._mix_init(batch, init_iter)
+            batch = self._mix_init(batch, init_src)
             batch = self._maybe_shard(batch)
             br = self._eval_step(self.params, batch)
             losses_cv += np.asarray([float(x) for x in br])

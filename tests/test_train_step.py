@@ -203,3 +203,48 @@ def test_remat_train_step_matches():
     np.testing.assert_allclose(float(b1.total), float(b2.total), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_unet_p_pred_eleven_channels():
+    """p_pred U-Net: the 11th (p_prev) channel flows end to end — the
+    reference declares c_i=11 but never assembles it (datasetio.py:258-274)."""
+    from pbml_mantle_convection_tpu.data import (
+        TimePairDataset, synthetic_store)
+
+    store = synthetic_store(n_snapshots=8, with_p=True)
+    ds = TimePairDataset(store, roll_forward=1, p_pred=True)
+    rng = np.random.default_rng(10)
+    batch = ds.batch(rng, 2)
+    assert batch["x"].shape[-1] == 11
+    assert batch["y"].shape[1] == 4  # u, v, p, T
+
+    model = Unet(levels=2, c_i=11, c_h=8, c_o=3, loss_type="curl",
+                 repeats=1, f=5, p_pred=True)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="unet", loss_type="curl", p_pred=True,
+                          roll_forward=2)
+    step = make_train_step(model.apply, opt, cfg)
+    params, _, br = step(params, opt.init(params), batch)
+    assert np.isfinite(float(br.total))
+
+
+def test_vit_field_train_step():
+    from pbml_mantle_convection_tpu.data import (
+        SnapshotDataset, synthetic_store)
+    from pbml_mantle_convection_tpu.models import ModelConfig, build_model
+
+    store = synthetic_store(n_snapshots=4)
+    ds = SnapshotDataset(store, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    batch = ds.batch(rng, 2)
+    H, W = store.T.shape[1:]
+    cfg_m = ModelConfig(network="vit", H=H, W=W, n_hidden=16, n_head=2,
+                        n_layers=1, loss_type="mae", p_pred=False)
+    model = build_model(cfg_m)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="vit", loss_type="mae")
+    step = make_train_step(model.apply, opt, cfg)
+    params, _, br = step(params, opt.init(params), batch)
+    assert np.isfinite(float(br.total))
