@@ -225,6 +225,64 @@ class FastNewFluidNet:
         right_band = lr[..., 1 * c_o:2 * c_o]
         return row0, row1, left_band, right_band, band
 
+    def _overwrite_bands_aligned(self, y6, bands, c_o, H, W):
+        """Band scatter as 4 aligned channel-slice dynamic updates.
+
+        With band ≤ f and block-aligned band offsets, the dense band rows
+        occupy a *contiguous* channel range of one block-row (channel order
+        (a, b, c)), and the band cols a contiguous sub-range per a-group —
+        so each write touches a small slice with no read-merge and no
+        relayout. Measured ~5× cheaper than the strip round-trip variant
+        (PERF.md). Caller checks alignment and falls back otherwise.
+        """
+        f = self.f
+        row0, row1, lb, rb, band = bands
+        B, h, w, _ = y6.shape
+        Hp, Wp = h * f, w * f
+        C = c_o
+
+        def padW(r):
+            if Wp == W:
+                return r
+            return jnp.pad(r, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+
+        def rows_to_chan(rows):
+            # (B, band, Wp, C) → (B, 1, w, band·f·C) in (a, b, c) order
+            r = padW(rows).reshape(B, band, w, f, C)
+            r = r.transpose(0, 2, 1, 3, 4)
+            return r.reshape(B, 1, w, band * f * C)
+
+        y6 = y6.at[:, 0:1, :, :band * f * C].set(rows_to_chan(row0))
+        hb = (H - band) // f
+        lo = (H - band) - hb * f
+        y6 = y6.at[:, hb:hb + 1, :, lo * f * C:(lo + band) * f * C].set(
+            rows_to_chan(row1))
+
+        # full-height column bands incl. corners from the row bands
+        def col_full(cols, row_lo, row_hi):
+            full = jnp.concatenate([row_lo, cols, row_hi], axis=1)
+            if Hp != H:
+                full = jnp.pad(full, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+            return full.reshape(B, h, f, band, C).reshape(
+                B, h, 1, f, band * C)
+
+        lcf = col_full(lb, row0[:, :, :band], row1[:, :, :band])
+        rcf = col_full(rb, row0[:, :, W - band:], row1[:, :, W - band:])
+
+        y5 = y6.reshape(B, h, w, f, f * C)
+        y5 = y5.at[:, :, 0:1, :, :band * C].set(lcf)
+        wb = (W - band) // f
+        lo_w = (W - band) - wb * f
+        y5 = y5.at[:, :, wb:wb + 1, :, lo_w * C:(lo_w + band) * C].set(rcf)
+        return y5.reshape(B, h, w, f * f * C)
+
+    @staticmethod
+    def _bands_aligned(H, W, band, f):
+        """Alignment conditions for the aligned scatter."""
+        hb_lo = (H - band) - ((H - band) // f) * f
+        wb_lo = (W - band) - ((W - band) // f) * f
+        return band <= f and hb_lo + band <= f and wb_lo + band <= f
+
     def _overwrite_bands(self, y6, bands, c_o, H, W):
         """Write the dense boundary bands into the s2d tensor by editing
         only the edge block-rows/cols (small strips + dynamic updates —
