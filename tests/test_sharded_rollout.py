@@ -1,0 +1,65 @@
+"""Multi-device rollouts: a batch of simulations sharded over the mesh.
+
+The engine's state is batched (B, H, W); placing it with a batch-axis
+NamedSharding lets jit auto-partition the whole coupled scan across
+devices — linear multi-sim throughput with zero code changes (parameter
+sweeps are the reference's primary workload: 130 sims).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbml_mantle_convection_tpu.constants import SimParams
+from pbml_mantle_convection_tpu.parallel.mesh import (
+    batch_sharding, make_mesh)
+from pbml_mantle_convection_tpu.sim.engine import SimEngine
+from pbml_mantle_convection_tpu.sim.grid import Grid
+from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+
+
+def _engine():
+    grid = Grid(H=20, W=28)
+    params = SimParams(raq=3.0, fkt=1e6, fkp=3.0)
+    xc, yc = grid.xc, grid.yc
+    u = jnp.pi * jnp.cos(jnp.pi * yc) * jnp.sin(jnp.pi * xc / grid.aspect)
+    v = -(jnp.pi / grid.aspect) * jnp.sin(jnp.pi * yc) * jnp.cos(
+        jnp.pi * xc / grid.aspect)
+
+    def apply_fn(x):
+        b = x.shape[0]
+        return (jnp.broadcast_to(u, (b,) + u.shape),
+                jnp.broadcast_to(v, (b,) + v.shape), None)
+
+    stepper = TimeStepper(grid=grid, params=params, apply_fn=apply_fn,
+                          dtype=jnp.float64)
+    return SimEngine(grid=grid, params=params, stepper=stepper,
+                     dtype=jnp.float64)
+
+
+def test_batch_sharded_rollout_matches_single_device():
+    eng = _engine()
+    mesh = make_mesh(8)
+    B = 8
+    rng = np.random.default_rng(0)
+    T0 = jnp.clip(
+        1.0 - eng.grid.yc[None]
+        + 0.1 * jnp.asarray(rng.normal(size=(B, eng.grid.H, eng.grid.W))),
+        0, 1)
+    state = eng.init_state(T0)
+
+    multi = jax.jit(eng.multi_step, static_argnums=1)
+    ref_state, ref_trace = multi(state, 25)
+
+    # shard the batch axis over the 8 CPU devices and re-run
+    sh = batch_sharding(mesh)
+    sharded = state._replace(
+        T=jax.device_put(state.T, sh), u=jax.device_put(state.u, sh),
+        v=jax.device_put(state.v, sh), p=jax.device_put(state.p, sh),
+        V=jax.device_put(state.V, sh))
+    out_state, out_trace = multi(sharded, 25)
+
+    np.testing.assert_allclose(np.asarray(out_state.T),
+                               np.asarray(ref_state.T), rtol=1e-12)
+    # the field really is distributed
+    assert len(out_state.T.sharding.device_set) == 8
