@@ -135,10 +135,17 @@ class FastNewFluidNet:
     """
 
     def __init__(self, model, params, H: int, W: int, f: int = 4,
-                 dtype=None):
+                 dtype=None, conv_bf16: bool = False,
+                 approx_gelu: bool = False):
+        """``conv_bf16``/``approx_gelu`` enable the fast-inexact mode:
+        convolution inputs/weights in bfloat16 (f32 accumulation) and
+        tanh-approximate GELU. Deviates from the reference's float64
+        semantics at the ~1e-3 level — OFF by default."""
         self.m = model
         self.f = f
         self.H, self.W = H, W
+        self.conv_bf16 = conv_bf16
+        self.approx_gelu = approx_gelu
         p = params["params"] if "params" in params else params
         dtype = dtype or np.asarray(
             jax.tree.leaves(p)[0]).dtype
@@ -170,7 +177,20 @@ class FastNewFluidNet:
         gn0 = p["gn_0"]["GroupNorm_0"]
         self.gn0_scale = jnp.asarray(gn0["scale"], dtype)
         self.gn0_bias = jnp.asarray(gn0["bias"], dtype)
-        self.act = get_activation(model.act_fn)
+        if approx_gelu and model.act_fn == "gelu":
+            self.act = lambda x: jax.nn.gelu(x, approximate=True)
+        else:
+            self.act = get_activation(model.act_fn)
+        if conv_bf16:
+            def _cast(lay):
+                lay.w_s2d = lay.w_s2d.astype(jnp.bfloat16)
+                return lay
+            self.stem = _cast(self.stem)
+            self.branches = [[_cast(l) for l in br]
+                             for br in self.branches]
+            if isinstance(self.merge1, dict):
+                for spec in (self.merge1, self.merge2, self.merge3):
+                    spec["w_s2d"] = spec["w_s2d"].astype(jnp.bfloat16)
 
     # ------------------------------------------------------------------
     # band fix-up machinery

@@ -78,7 +78,17 @@ def s2d_conv_weights(w, f: int):
 def conv_s2d(x_s2d, w_s2d, preferred_element_type=None):
     """SAME (zero-pad) conv in s2d space — equals the dense zero-pad SAME
     conv everywhere except possibly the outer (f·halo − pad) dense ring,
-    which callers overwrite with their boundary treatment anyway."""
+    which callers overwrite with their boundary treatment anyway.
+
+    With a bfloat16 kernel, the input is cast to bfloat16 and the MXU
+    accumulates in float32 (the fast-inexact mode)."""
+    out_t = preferred_element_type or jnp.float32
+    if w_s2d.dtype == jnp.bfloat16:
+        x_s2d = x_s2d.astype(jnp.bfloat16)
+        return lax.conv_general_dilated(
+            x_s2d, w_s2d, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(out_t)
     return lax.conv_general_dilated(
         x_s2d, w_s2d, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

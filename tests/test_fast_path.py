@@ -75,3 +75,18 @@ class TestFastNewFluidNet:
 
     def test_full_reference_grid(self):
         _check_model("learned", 128, 506, levels=2, repeats=1)
+
+
+def test_fast_inexact_mode_close():
+    """Opt-in bf16-trunk + tanh-GELU mode stays within ~1% of exact."""
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=1, f=5,
+                        p_pred=False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 32, 64, 7)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    u0, v0, _ = FastNewFluidNet(model, params, 32, 64)(x)
+    u1, v1, _ = FastNewFluidNet(model, params, 32, 64, conv_bf16=True,
+                                approx_gelu=True)(x)
+    scale = float(jnp.max(jnp.abs(u0))) + 1e-30
+    assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 0.02
