@@ -8,9 +8,10 @@ N = H·W point sequence into ``slice_num`` tokens via learned soft slices
 (two einsums around a small quadratic attention), which is what makes a
 64,768-point grid tractable — and maps to three MXU matmul chains on TPU.
 
-A fused Pallas slice-attention kernel lives in ops/pallas_kernels.py; these
-modules use plain einsums (XLA already fuses them well) and are the
-reference implementation for the kernel's tests.
+A fused Pallas slice-attention kernel lives in ops/slice_attention.py;
+these modules use plain einsums, which measure 3.4× faster than the kernel
+at the reference shapes (PERF.md) — XLA batches the head einsums better
+than per-(batch, head) kernel grids.
 """
 
 from __future__ import annotations
