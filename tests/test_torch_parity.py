@@ -182,3 +182,50 @@ def test_adnet_parity(torch_mods):
     np.testing.assert_allclose(float(dt_ours), float(dt_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(T_ours), T_ref.numpy()[:, 0],
                                rtol=1e-10, atol=1e-12)
+
+
+def test_scaler_parity():
+    """scale_var/unscale_var vs the reference scaler.py."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_scaler", os.path.join(REF, "scaler.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from pbml_mantle_convection_tpu.constants import scale_var, unscale_var
+    rng = np.random.default_rng(0)
+    for var in ("uprev", "vprev", "pprev", "Vprev", "Tprev"):
+        x = rng.normal(size=(5, 7))
+        ours = scale_var(x.copy(), 3.2, 1e8, 7.5, var)
+        theirs = ref.scale_var(x.copy(), 3.2, 1e8, 7.5, var)
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-15)
+        ours_u = unscale_var(x.copy(), 3.2, 1e8, 7.5, var)
+        theirs_u = ref.unscale_var(x.copy(), 3.2, 1e8, 7.5, var)
+        np.testing.assert_allclose(np.asarray(ours_u), theirs_u,
+                                   rtol=1e-15)
+
+
+def test_profile_mlp_parity(tmp_path):
+    """Our profile predictor vs the reference calculate_profiles with the
+    original pickle weights (calculate_profiles.py:57-134)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_profiles", os.path.join(REF, "calculate_profiles.py"))
+    ref = importlib.util.module_from_spec(spec)
+    import matplotlib
+    matplotlib.use("Agg")
+    spec.loader.exec_module(ref)
+
+    cwd = os.getcwd()
+    os.chdir(REF)  # the reference opens the pickle by relative path
+    try:
+        y_ref, y_prof_ref = ref.calc_mlp_profile(
+            [3.0, 7.5], [1e7, 1e9], [2.0, 50.0])
+    finally:
+        os.chdir(cwd)
+
+    from pbml_mantle_convection_tpu.sim.profiles import calc_mlp_profile
+    y_ours, y_prof = calc_mlp_profile([3.0, 7.5], [1e7, 1e9],
+                                      [2.0, 50.0])
+    np.testing.assert_allclose(y_prof, y_prof_ref, rtol=1e-12)
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-10, atol=1e-12)
