@@ -247,7 +247,7 @@ struct Engine {
     return cfg.raq * h;
   }
 
-  double do_timestep() {
+  double courant_dt() const {
     // COURANT dt (TSType=COURANT, prepare_gaia_ini.py:30-38) with the
     // explicit-diffusion bound, capped at MaxDT.
     const double dy = 1.0 / cfg.layers;
@@ -261,7 +261,13 @@ struct Engine {
     double dt_dif = 0.25 * dy * dy;
     double dt = std::min(std::min(dt_adv, dt_dif), cfg.max_dt);
     if (n_step == 0) dt = std::min(dt, cfg.initial_dt);
+    return dt;
+  }
 
+  double do_timestep() { return do_timestep_dt(courant_dt()); }
+
+  double do_timestep_dt(double dt) {
+    const double dy = 1.0 / cfg.layers;
     const double q = heating();
 
     // upwind advection + conservative diffusion, metric-aware near the
@@ -346,6 +352,9 @@ void gaia_set_time(void* e, double t) {
 }
 double gaia_do_timestep(void* e) {
   return static_cast<Engine*>(e)->do_timestep();
+}
+double gaia_do_timestep_dt(void* e, double dt) {
+  return static_cast<Engine*>(e)->do_timestep_dt(dt);
 }
 
 }  // extern "C"

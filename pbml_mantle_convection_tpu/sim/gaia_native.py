@@ -67,6 +67,8 @@ def load_library() -> ctypes.CDLL:
     lib.gaia_set_time.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.gaia_do_timestep.argtypes = [ctypes.c_void_p]
     lib.gaia_do_timestep.restype = ctypes.c_double
+    lib.gaia_do_timestep_dt.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.gaia_do_timestep_dt.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -140,3 +142,9 @@ class Direct:
 
     def doTimestep(self) -> float:
         return self._lib.gaia_do_timestep(self._h)
+
+    def doTimestepDt(self, dt: float) -> float:
+        """Step with an externally prescribed dt (testing hook; real GAIA
+        has no such entry — used for cross-implementation equivalence
+        tests against the JAX energy step)."""
+        return self._lib.gaia_do_timestep_dt(self._h, float(dt))

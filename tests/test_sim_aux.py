@@ -119,3 +119,46 @@ class TestNativeEngine:
         # Dirichlet plates hold under pure diffusion
         Tg = T.reshape(H, W)
         assert np.allclose(Tg[0], 1.0) and np.allclose(Tg[-1], 0.0)
+
+    def test_energy_step_matches_jax(self, sim):
+        """Cross-implementation equivalence: the C++ energy step and the
+        JAX advect_diffuse_step produce the same field from the same
+        (state, velocities, dt).
+
+        Uses the dt-override hook so both sides integrate the exact same
+        step; metrics are built from the NATIVE grid's own pos so only
+        the update rule is under test. Both implement the reference's
+        upwind + conservative-diffusion scheme
+        (pytorch_networks_convae.py:522-568)."""
+        import jax.numpy as jnp
+        from pbml_mantle_convection_tpu.physics.advection import (
+            advect_diffuse_step, grid_metrics)
+
+        state = sim.getState()
+        H, W = sim.shape
+        rng = np.random.default_rng(7)
+        u = rng.normal(size=(H, W)) * 20
+        v = rng.normal(size=(H, W)) * 20
+        state["v"][:, 0] = u.reshape(-1)
+        state["v"][:, 1] = v.reshape(-1)
+        # a mid-range field so the native [0, 2] clip never triggers
+        T0 = 0.3 + 0.4 * rng.random((H, W))
+        T0[0], T0[-1] = 1.0, 0.0
+        T0[:, 0], T0[:, -1] = T0[:, 1], T0[:, -2]
+        state["T"][:] = T0.reshape(-1)
+
+        xc = state["pos"][:, 0].reshape(H, W).copy()
+        yc = state["pos"][:, 1].reshape(H, W).copy()
+        metrics = grid_metrics(jnp.asarray(xc), jnp.asarray(yc),
+                               aspect=2.0)
+
+        dt = 2e-5
+        T_jax = jnp.asarray(T0)[None]
+        for _ in range(3):
+            sim.doTimestepDt(dt)
+            T_jax, _ = advect_diffuse_step(
+                jnp.asarray(u)[None], jnp.asarray(v)[None], T_jax,
+                2.0, metrics, dt=jnp.asarray(dt))
+        np.testing.assert_allclose(
+            state["T"].reshape(H, W), np.asarray(T_jax[0]),
+            rtol=1e-12, atol=1e-14)
