@@ -80,15 +80,26 @@ def create_ini_file(path: str, cfg: GaiaIniConfig) -> None:
         mc_post_ts = "RadioactiveDecay"
         mc_init += ", RadioactiveDecay/Init"
     elif c.core_cool and c.radioactive_decay:
+        # Deliberate fix of a reference bug: prepare_gaia_ini.py:75
+        # assigns modules[5] = "Core/Cooling, RadioactiveDecay \n",
+        # clobbering the "MCPostTS =" key itself, so the reference's ini
+        # silently drops the hook in this combination. We keep the key.
         mc_post_ts = "Core/Cooling, RadioactiveDecay"
         mc_init += ", Core/Init, RadioactiveDecay/Init"
     energy = "Boussinesq/Compress" if c.Di > 0 else "Boussinesq"
 
     add(f"MCInit = {mc_init}")
     add("MCBody = Boussinesq")
+    # the empty module slots are still emitted — a real GAIA install
+    # expects every MC* hook key present (prepare_gaia_ini.py:50-58)
+    add("MCPreTS = ")
+    add("MCPostOuter = ")
+    add("MCPrePressure = ")
     add(f"MCPostTS = {mc_post_ts}")
     add(f"MCEnergy = {energy}")
     add("MCRheology = FKViscosity")
+    add("MCPreOutput = ")
+    add("MCOutput = ")
 
     # radioactive decay / core constants (prepare_gaia_ini.py:81-92)
     add("RadioactiveDecay/nDecay = 4")
@@ -140,6 +151,10 @@ def create_ini_file(path: str, cfg: GaiaIniConfig) -> None:
     add("ViscosityStabilizer = 0")
     add(f"MMSolverSkip = {c.intervene_ts}")
     add(f"MMSolverSkipWarmUp = {c.warm_up_steps}")
+    # lineout include + cadence (prepare_gaia_ini.py:134-135); GAIA
+    # ignores a missing include file, as does our native engine.
+    add("@ini/lineout.ini")
+    add("LineOut/OutputEveryN = 10")
     if c.solver == "mumps":
         add("MMSolver = MUMPS")
         add("MUMPS/ICNTL_7 = 4")

@@ -205,6 +205,91 @@ def test_scaler_parity():
                                    rtol=1e-15)
 
 
+def _parse_ini(path):
+    """key -> value map, whitespace-normalized; '@include' lines under
+    the 'include' key; comma lists normalized item-wise."""
+    out = {}
+    for raw in open(path).read().splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("@"):
+            out.setdefault("include", []).append(line)
+            continue
+        if "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        k, v = k.strip(), " ".join(v.split())
+        items = [i.strip() for i in v.split(",")]
+        out[k] = items if len(items) > 1 else v
+    return out
+
+
+def _values_equal(a, b):
+    if isinstance(a, list) or isinstance(b, list):
+        return a == b
+    try:
+        return float(a) == float(b)
+    except (TypeError, ValueError):
+        return a == b
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(solver="iterative", urf=0.7),
+    dict(core_cool=True),
+    dict(radioactive_decay=True),
+    dict(core_cool=True, radioactive_decay=True),
+    dict(initialization="linear"),
+    dict(initialization="perfect"),
+    dict(initialization="cold"),
+    dict(Di=0.5),
+])
+def test_ini_file_parity(tmp_path, kw):
+    """create_ini_file vs the reference prepare_gaia_ini, key for key
+    (prepare_gaia_ini.py:4-151)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_ini", os.path.join(REF, "prepare_gaia_ini.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from pbml_mantle_convection_tpu.sim.ini import (
+        GaiaIniConfig, create_ini_file)
+
+    base = dict(mode="ML_STOKES", raq=2.5, fkt=1e7, fkp=5.0,
+                advection_scheme=2, intervene_ts=4, warm_up_steps=10)
+    ours_path = str(tmp_path / "ours.ini")
+    ref_path = str(tmp_path / "ref.ini")
+    create_ini_file(ours_path, GaiaIniConfig(**base, **kw))
+    ref.create_ini_file(
+        ref_path, base["mode"], base["raq"], base["fkt"], base["fkp"],
+        base["advection_scheme"], base["intervene_ts"],
+        base["warm_up_steps"], solver=kw.get("solver", "mumps"),
+        initialization=kw.get("initialization", "hot"),
+        urf=kw.get("urf", 1), Di=kw.get("Di", 0),
+        core_cool=kw.get("core_cool", False),
+        radioactive_decay=kw.get("radioactive_decay", False))
+
+    ours = _parse_ini(ours_path)
+    theirs = _parse_ini(ref_path)
+    # CaseID naming is ours to choose; everything else must agree.
+    ours.pop("CaseID", None), theirs.pop("CaseID", None)
+    if kw.get("core_cool") and kw.get("radioactive_decay"):
+        # reference bug: prepare_gaia_ini.py:75 clobbers the whole
+        # "MCPostTS =" line in this combination, dropping the key from
+        # its ini; we deliberately keep it (sim/ini.py).
+        assert "MCPostTS" not in theirs
+        assert ours.pop("MCPostTS") == ["Core/Cooling", "RadioactiveDecay"]
+    missing = set(theirs) - set(ours)
+    extra = set(ours) - set(theirs)
+    assert not missing, f"keys missing vs reference: {missing}"
+    assert not extra, f"keys not in reference: {extra}"
+    diffs = {k: (ours[k], theirs[k]) for k in theirs
+             if not _values_equal(ours[k], theirs[k])}
+    assert not diffs, f"value mismatches: {diffs}"
+
+
 def test_profile_mlp_parity(tmp_path):
     """Our profile predictor vs the reference calculate_profiles with the
     original pickle weights (calculate_profiles.py:57-134)."""
