@@ -56,6 +56,12 @@ struct Config {
   double bc_top = 0.0;     // BCTopHValue
   std::string read_ascii_T;   // ReadASCII/Field/T profile file
   bool use_ascii_profile = false;  // set only via MCInit (like real GAIA)
+  // momentum solver (prepare_gaia_ini.py:139-146): "MUMPS" (direct; here
+  // approximated by a fully-converged iterative solve) or "iterative"
+  // (the urf_mm under-relaxed mode). Empty = caller provides velocities.
+  std::string mm_solver;
+  double urf = 1.0;        // urf_mm under-relaxation factor
+  int mm_iter = 2000;      // PT iterations per solve (MMSolverIter)
 };
 
 std::string trim(const std::string& s) {
@@ -112,6 +118,15 @@ struct Engine {
     else if (key == "Advection") cfg.advection = i();
     else if (key == "MMSolverSkip") cfg.mm_solver_skip = i();
     else if (key == "MMSolverSkipWarmUp") cfg.mm_warmup = i();
+    else if (key == "MMSolver") cfg.mm_solver = val;
+    else if (key == "urf_mm") {
+      // the reference emits urf_mm *instead of* an MMSolver key for the
+      // iterative mode (prepare_gaia_ini.py:139-146) — its presence
+      // selects the iterative solver, like real GAIA's default
+      cfg.urf = d();
+      if (cfg.mm_solver.empty()) cfg.mm_solver = "iterative";
+    }
+    else if (key == "MMSolverIter") cfg.mm_iter = i();
     else if (key == "BCBottomHValue") cfg.bc_bottom = d();
     else if (key == "BCTopHValue") cfg.bc_top = d();
     else if (key == "Core/rhoCpVar") cfg.core_rhocp_var = d();
@@ -264,7 +279,171 @@ struct Engine {
     return dt;
   }
 
-  double do_timestep() { return do_timestep_dt(courant_dt()); }
+  // ------------------------------------------------------------------
+  // Native iterative momentum solve — the GAIA urf_mm mode
+  // (prepare_gaia_ini.py:146). Accelerated pseudo-transient relaxation of
+  // the variable-viscosity Stokes system on a staggered interior grid,
+  // mirroring physics/stokes.py:PTStokesSolver.solve operation for
+  // operation so the native and JAX solvers agree to solver tolerance.
+  // ------------------------------------------------------------------
+  bool solve_momentum_enabled = false;
+
+  void solve_momentum(int n_iter) {
+    const int ny = H - 2, nx = W - 2;
+    const double dy = 1.0 / cfg.layers;
+    const double dx = cfg.aspect / (W - 2);
+    const double vdamp = 4.0, ptsc = 0.25;
+    const double vsc = 0.5 * cfg.urf;   // urf_mm scales the velocity step
+
+    // interior cell-centred inputs
+    auto Tc = [&](int j, int i) { return T[id(j + 1, i + 1)]; };
+    auto Ec = [&](int j, int i) { return V[id(j + 1, i + 1)]; };
+
+    // viscosity at cell corners: geometric mean of 4 edge-padded centres
+    std::vector<double> eta_n((ny + 1) * (nx + 1));
+    for (int j = 0; j <= ny; ++j)
+      for (int i = 0; i <= nx; ++i) {
+        auto ec = [&](int jj, int ii) {
+          jj = jj < 0 ? 0 : (jj >= ny ? ny - 1 : jj);
+          ii = ii < 0 ? 0 : (ii >= nx ? nx - 1 : ii);
+          return std::log(Ec(jj, ii));
+        };
+        eta_n[j * (nx + 1) + i] = std::exp(
+            0.25 * (ec(j - 1, i - 1) + ec(j - 1, i) + ec(j, i - 1) +
+                    ec(j, i)));
+      }
+
+    // buoyancy at v-points (y-faces): vertical average of edge-padded T
+    std::vector<double> fy((ny + 1) * nx);
+    for (int j = 0; j <= ny; ++j)
+      for (int i = 0; i < nx; ++i) {
+        int ja = j - 1 < 0 ? 0 : j - 1;
+        int jb = j >= ny ? ny - 1 : j;
+        fy[j * nx + i] = cfg.raq * 0.5 * (Tc(ja, i) + Tc(jb, i));
+      }
+
+    const double min_h2 = std::min(dx, dy) * std::min(dx, dy);
+    const double dtau_u = vsc * min_h2 / 4.1;
+    const double damp = 1.0 - vdamp / std::max(ny, nx);
+
+    // staggered unknowns and residual memories
+    std::vector<double> u(ny * (nx + 1), 0.0);     // x-faces
+    std::vector<double> v((ny + 1) * nx, 0.0);     // y-faces
+    std::vector<double> p(ny * nx, 0.0);
+    std::vector<double> dudt(ny * (nx - 1), 0.0);
+    std::vector<double> dvdt((ny - 1) * nx, 0.0);
+    std::vector<double> txx(ny * nx), tyy(ny * nx),
+        txy((ny + 1) * (nx + 1));
+
+    for (int it = 0; it < n_iter; ++it) {
+      // normal stresses at centres
+      for (int j = 0; j < ny; ++j)
+        for (int i = 0; i < nx; ++i) {
+          const double exx = (u[j * (nx + 1) + i + 1] -
+                              u[j * (nx + 1) + i]) / dx;
+          const double eyy = (v[(j + 1) * nx + i] - v[j * nx + i]) / dy;
+          txx[j * nx + i] = 2.0 * Ec(j, i) * exx - p[j * nx + i];
+          tyy[j * nx + i] = 2.0 * Ec(j, i) * eyy - p[j * nx + i];
+        }
+      // shear stress at nodes (free-slip: edge-padded du/dy, dv/dx)
+      for (int j = 0; j <= ny; ++j)
+        for (int i = 0; i <= nx; ++i) {
+          const int ju = j - 1 < 0 ? 0 : j - 1;        // row below node
+          const int jd = j >= ny ? ny - 1 : j;         // row above node
+          const double dudy = (u[jd * (nx + 1) + i] -
+                               u[ju * (nx + 1) + i]) / dy;
+          const int il = i - 1 < 0 ? 0 : i - 1;
+          const int ir = i >= nx ? nx - 1 : i;
+          const double dvdx = (v[j * nx + ir] - v[j * nx + il]) / dx;
+          txy[j * (nx + 1) + i] =
+              2.0 * eta_n[j * (nx + 1) + i] * 0.5 * (dudy + dvdx);
+        }
+      // momentum residuals on interior faces, damped update
+      for (int j = 0; j < ny; ++j)
+        for (int i = 0; i < nx - 1; ++i) {
+          const double Ru =
+              (txx[j * nx + i + 1] - txx[j * nx + i]) / dx +
+              (txy[(j + 1) * (nx + 1) + i + 1] -
+               txy[j * (nx + 1) + i + 1]) / dy;
+          double& m = dudt[j * (nx - 1) + i];
+          m = damp * m + Ru;
+          const double eta_u = std::max(Ec(j, i + 1), Ec(j, i));
+          u[j * (nx + 1) + i + 1] += dtau_u / eta_u * m;
+        }
+      for (int j = 0; j < ny - 1; ++j)
+        for (int i = 0; i < nx; ++i) {
+          const double Rv =
+              (tyy[(j + 1) * nx + i] - tyy[j * nx + i]) / dy +
+              (txy[(j + 1) * (nx + 1) + i + 1] -
+               txy[(j + 1) * (nx + 1) + i]) / dx +
+              fy[(j + 1) * nx + i];
+          double& m = dvdt[j * nx + i];
+          m = damp * m + Rv;
+          const double eta_v = std::max(Ec(j + 1, i), Ec(j, i));
+          v[(j + 1) * nx + i] += dtau_u / eta_v * m;
+        }
+      // impermeable walls
+      for (int j = 0; j < ny; ++j) {
+        u[j * (nx + 1) + 0] = 0.0;
+        u[j * (nx + 1) + nx] = 0.0;
+      }
+      for (int i = 0; i < nx; ++i) {
+        v[0 * nx + i] = 0.0;
+        v[ny * nx + i] = 0.0;
+      }
+      // pressure update from divergence (viscosity-scaled local step)
+      for (int j = 0; j < ny; ++j)
+        for (int i = 0; i < nx; ++i) {
+          const double div =
+              (u[j * (nx + 1) + i + 1] - u[j * (nx + 1) + i]) / dx +
+              (v[(j + 1) * nx + i] - v[j * nx + i]) / dy;
+          const double dtau_p =
+              ptsc * 4.1 * Ec(j, i) / std::max(nx, ny);
+          p[j * nx + i] -= dtau_p * div;
+        }
+    }
+
+    // back to cell centres on the full grid with the JAX solver's BC
+    // stamping (physics/stokes.py:146-158)
+    double p_mean = 0.0;
+    for (double x : p) p_mean += x;
+    p_mean /= (double)(ny * nx);
+
+    for (int k = 0; k < N; ++k) {
+      vel[(size_t)k * 3 + 0] = 0.0;
+      vel[(size_t)k * 3 + 1] = 0.0;
+      vel[(size_t)k * 3 + 2] = 0.0;
+      P[k] = 0.0;
+    }
+    for (int j = 0; j < ny; ++j)
+      for (int i = 0; i < nx; ++i) {
+        const size_t k = id(j + 1, i + 1);
+        vel[k * 3 + 0] =
+            0.5 * (u[j * (nx + 1) + i + 1] + u[j * (nx + 1) + i]);
+        vel[k * 3 + 1] = 0.5 * (v[(j + 1) * nx + i] + v[j * nx + i]);
+        P[k] = p[j * nx + i] - p_mean;
+      }
+    for (int c = 1; c < W - 1; ++c) {         // u: replicate top/bottom
+      vel[id(0, c) * 3 + 0] = vel[id(1, c) * 3 + 0];
+      vel[id(H - 1, c) * 3 + 0] = vel[id(H - 2, c) * 3 + 0];
+    }
+    for (int r = 1; r < H - 1; ++r) {         // v: replicate sidewalls
+      vel[id(r, 0) * 3 + 1] = vel[id(r, 1) * 3 + 1];
+      vel[id(r, W - 1) * 3 + 1] = vel[id(r, W - 2) * 3 + 1];
+    }
+  }
+
+  bool momentum_due() const {
+    if (!solve_momentum_enabled || cfg.mm_solver.empty()) return false;
+    if (n_step < cfg.mm_warmup) return true;   // warm-up: solve every step
+    if (cfg.mm_solver_skip <= 1) return true;
+    return (n_step % cfg.mm_solver_skip) == 0;
+  }
+
+  double do_timestep() {
+    if (momentum_due()) solve_momentum(cfg.mm_iter);
+    return do_timestep_dt(courant_dt());
+  }
 
   double do_timestep_dt(double dt) {
     const double dy = 1.0 / cfg.layers;
@@ -355,6 +534,16 @@ double gaia_do_timestep(void* e) {
 }
 double gaia_do_timestep_dt(void* e, double dt) {
   return static_cast<Engine*>(e)->do_timestep_dt(dt);
+}
+void gaia_set_solve_momentum(void* e, int on) {
+  static_cast<Engine*>(e)->solve_momentum_enabled = on != 0;
+}
+void gaia_solve_momentum(void* e, int n_iter) {
+  Engine* eng = static_cast<Engine*>(e);
+  eng->solve_momentum(n_iter > 0 ? n_iter : eng->cfg.mm_iter);
+}
+void gaia_update_viscosity(void* e) {
+  static_cast<Engine*>(e)->update_viscosity();
 }
 
 }  // extern "C"

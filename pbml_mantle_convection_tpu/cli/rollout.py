@@ -5,8 +5,9 @@ Modes (advect_wi_gaia.py:218-222):
   ML         — surrogate + explicit AD update, native energy step every
                ``--intervene_TS`` steps
   ML_STOKES  — surrogate Stokes + energy step every step
-  ML_PRE     — alias of ML_STOKES in-framework (the iterative-solver
-               preconditioning happens inside GAIA in the reference)
+  ML_PRE     — surrogate prediction warm-starts a short iterative PT
+               momentum solve each step (advect_wi_gaia.py:221,488;
+               solver config prepare_gaia_ini.py:146)
 
 ``--engine jax`` (default) runs everything on-device via lax.scan;
 ``--engine native`` drives the C++ engine step by step (verification
@@ -142,6 +143,10 @@ def main(argv=None):
         sim.iniLoad(os.path.join(gaia_dir, "ini", "default.ini"))
         sim.iniLoad(f_ini)
         sim.init2()
+        if args.mode == "GAIA":
+            # self-contained native run: momentum from the engine's own
+            # urf_mm iterative solver (prepare_gaia_ini.py:139-146)
+            sim.setSolveMomentum(True)
         out = rollout_native(
             sim, stepper, mode=args.mode, t_end=args.t_end,
             intervene_ts=args.intervene_TS,
@@ -152,11 +157,17 @@ def main(argv=None):
         print(f"native rollout done: t={out[0]:.4f} steps={out[1]}")
         return out
 
+    stokes_fn = None
+    if args.mode == "ML_PRE":
+        from ..physics.stokes import make_stokes_fn
+        stokes_fn = make_stokes_fn(grid, args.raq)
+
     engine = SimEngine(
         grid=grid, params=params_phys, stepper=stepper, mode=args.mode,
         intervene_ts=args.intervene_TS,
         radioactive_decay=bool(args.radioactive_decay),
-        core_cool=bool(args.core_cool), Di=args.Di, dtype=dtype)
+        core_cool=bool(args.core_cool), Di=args.Di, dtype=dtype,
+        stokes_fn=stokes_fn)
 
     # initial temperature from the predicted profile ("perfect"), linear,
     # hot or cold starts (prepare_gaia_ini.py:64-67, 94-96)

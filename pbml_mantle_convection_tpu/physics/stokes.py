@@ -23,7 +23,7 @@ production path (that's the surrogate).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +67,18 @@ class PTStokesSolver:
                     + log_e[1:, 1:])
         return jnp.exp(n)    # (ny+1, nx+1)
 
-    def solve(self, T_c, eta_c) -> StokesResult:
+    def solve(self, T_c, eta_c, u0=None, v0=None, p0=None,
+              n_iter=None) -> StokesResult:
         """T_c, eta_c: (ny, nx) cell-centred temperature and viscosity.
+
+        ``u0``/``v0``/``p0`` (optional, cell-centred interior (ny, nx))
+        warm-start the PT iteration — the ML_PRE mode: the surrogate's
+        prediction initializes the iterative momentum solve, which then
+        converges in far fewer iterations than from rest (the reference's
+        "ml stokes prediction with iterative solver",
+        advect_wi_gaia.py:221,488; solver config prepare_gaia_ini.py:146).
+        ``n_iter`` overrides the configured iteration count (used to run
+        short refinement solves from a warm start).
 
         Returns cell-centred fields embedded in the full (ny+2, nx+2) grid
         with the reference's BC stamping.
@@ -76,10 +86,17 @@ class PTStokesSolver:
         ny, nx, dy, dx = self.ny, self.nx, self.dy, self.dx
         dt = T_c.dtype
 
-        # staggered unknowns
+        # staggered unknowns (optionally warm-started from cell-centred
+        # predictions: interior faces = mean of adjacent centres, walls 0)
         u = jnp.zeros((ny, nx + 1), dt)     # x-faces
         v = jnp.zeros((ny + 1, nx), dt)     # y-faces
         p = jnp.zeros((ny, nx), dt)
+        if u0 is not None:
+            u = u.at[:, 1:-1].set(0.5 * (u0[:, 1:] + u0[:, :-1]))
+        if v0 is not None:
+            v = v.at[1:-1, :].set(0.5 * (v0[1:, :] + v0[:-1, :]))
+        if p0 is not None:
+            p = jnp.asarray(p0, dt)
         dudt = jnp.zeros((ny, nx - 1), dt)  # interior-face residual memory
         dvdt = jnp.zeros((ny - 1, nx), dt)
 
@@ -136,7 +153,8 @@ class PTStokesSolver:
             return (u, v, p, dudt, dvdt)
 
         u, v, p, dudt, dvdt = lax.fori_loop(
-            0, self.n_iter, body, (u, v, p, dudt, dvdt))
+            0, self.n_iter if n_iter is None else n_iter, body,
+            (u, v, p, dudt, dvdt))
 
         div = (u[:, 1:] - u[:, :-1]) / dx + (v[1:, :] - v[:-1, :]) / dy
         err_div = jnp.max(jnp.abs(div))
@@ -159,17 +177,37 @@ class PTStokesSolver:
                             err_div=err_div)
 
 
-def make_stokes_fn(grid, raq: float, n_iter: int = 2000):
-    """Build a (T, V) -> (u, v, p) batched solver for SimEngine's
-    ``mode="GAIA"`` (engine.py). T, V: (B, H, W)."""
+def make_stokes_fn(grid, raq: float, n_iter: int = 2000,
+                   pre_iter: Optional[int] = None):
+    """Build a ``(T, V, uvp0=None) -> (u, v, p)`` batched solver for
+    SimEngine's ``mode="GAIA"`` / ``mode="ML_PRE"`` (engine.py).
+    T, V: (B, H, W).
+
+    With ``uvp0`` (a (u, v, p) triple of full-grid (B, H, W) fields — the
+    surrogate's prediction) the solve warm-starts from it and runs only
+    ``pre_iter`` iterations (default n_iter // 10): the reference's ML_PRE
+    mode, advect_wi_gaia.py:221,488."""
     solver = PTStokesSolver(
         ny=grid.H - 2, nx=grid.W - 2, dy=grid.dy,
         dx=grid.aspect / (grid.W - 2), raq=raq, n_iter=n_iter)
+    if pre_iter is None:
+        pre_iter = max(n_iter // 10, 1)
 
-    def fn(T, V):
-        def one(Tb, Vb):
-            r = solver.solve(Tb[1:-1, 1:-1], Vb[1:-1, 1:-1])
+    def fn(T, V, uvp0=None):
+        if uvp0 is None:
+            def one(Tb, Vb):
+                r = solver.solve(Tb[1:-1, 1:-1], Vb[1:-1, 1:-1])
+                return r.u, r.v, r.p
+            return jax.vmap(one)(T, V)
+
+        u0, v0, p0 = uvp0
+
+        def one_warm(Tb, Vb, ub, vb, pb):
+            r = solver.solve(
+                Tb[1:-1, 1:-1], Vb[1:-1, 1:-1],
+                u0=ub[1:-1, 1:-1], v0=vb[1:-1, 1:-1],
+                p0=pb[1:-1, 1:-1], n_iter=pre_iter)
             return r.u, r.v, r.p
-        return jax.vmap(one)(T, V)
+        return jax.vmap(one_warm)(T, V, u0, v0, p0)
 
     return fn

@@ -15,6 +15,11 @@ Modes (advect_wi_gaia.py:218-222):
                     every ``intervene_ts`` steps the engine's own energy
                     step stands in for GAIA's (they coincide in-framework).
   * ``ML_STOKES`` — surrogate Stokes + engine energy step every step.
+  * ``ML_PRE``    — surrogate Stokes *warm-starting* a short iterative
+                    momentum solve (advect_wi_gaia.py:221,488 "ml stokes
+                    prediction with iterative solver"): the prediction
+                    initializes the PT solver, which refines it in
+                    ~n_iter/10 iterations; energy by the engine step.
   * ``GAIA``      — no surrogate: velocities from the iterative variable-
                     viscosity Stokes solver (physics/stokes.py), energy by
                     the same explicit step. Verification-grade stand-in for
@@ -181,6 +186,18 @@ class SimEngine:
                 jnp.asarray(self.params.fkp, T.dtype),
                 1.0 - self.grid.yc.astype(T.dtype), T)
             u, v, p = self.stokes_fn(T, V)
+        elif self.mode == "ML_PRE":
+            # ML_PRE: the surrogate's velocities warm-start a *short*
+            # iterative momentum solve (the reference's "ml stokes
+            # prediction with iterative solver", advect_wi_gaia.py:221,488;
+            # prepare_gaia_ini.py:146) — distinct from ML_STOKES, which
+            # uses the surrogate's velocities directly.
+            if self.stokes_fn is None:
+                raise ValueError("mode='ML_PRE' requires stokes_fn")
+            u_s, v_s, p_s, V = self.stepper.stokes(T)
+            if p_s is None:
+                p_s = state.p
+            u, v, p = self.stokes_fn(T, V, (u_s, v_s, p_s))
         else:
             u, v, p, V = self.stepper.stokes(T)
             if p is None:

@@ -69,6 +69,9 @@ def load_library() -> ctypes.CDLL:
     lib.gaia_do_timestep.restype = ctypes.c_double
     lib.gaia_do_timestep_dt.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.gaia_do_timestep_dt.restype = ctypes.c_double
+    lib.gaia_set_solve_momentum.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gaia_solve_momentum.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gaia_update_viscosity.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -148,3 +151,20 @@ class Direct:
         has no such entry — used for cross-implementation equivalence
         tests against the JAX energy step)."""
         return self._lib.gaia_do_timestep_dt(self._h, float(dt))
+
+    def setSolveMomentum(self, on: bool):
+        """Enable the native iterative momentum solve inside doTimestep
+        (the GAIA urf_mm mode, prepare_gaia_ini.py:146). Off by default so
+        ML modes keep caller-provided velocities; MMSolverSkip/WarmUp from
+        the ini govern which steps solve."""
+        self._lib.gaia_set_solve_momentum(self._h, 1 if on else 0)
+
+    def solveMomentum(self, n_iter: int = 0):
+        """Run one momentum solve now (n_iter=0: the ini's MMSolverIter).
+        Testing hook for native-vs-JAX solver equivalence."""
+        self._lib.gaia_solve_momentum(self._h, int(n_iter))
+
+    def updateViscosity(self):
+        """Recompute FK viscosity from the current T buffer (after the
+        caller writes state['T'] directly)."""
+        self._lib.gaia_update_viscosity(self._h)

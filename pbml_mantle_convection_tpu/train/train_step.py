@@ -33,11 +33,30 @@ class TrainStepConfig:
     # rematerialize the forward pass in the backward pass (trade FLOPs for
     # HBM) — lets large grids / deep roll_forward unrolls fit on chip.
     remat: bool = False
+    # training-time dropout (the reference trains with nn.Dropout active,
+    # pytorch_networks_convae.py:795-799, -d_r flag). When > 0 the train
+    # step takes an extra per-step PRNG key and runs the model with
+    # deterministic=False; eval stays deterministic.
+    drop_rate: float = 0.0
+
+
+def _bind_apply(apply_fn, cfg: TrainStepConfig):
+    """(params, x, rng) wrapper: threads the dropout rng into Flax apply
+    when training-time dropout is enabled; ignores it otherwise."""
+    if cfg.drop_rate > 0.0:
+        def bound(params, x, rng):
+            return apply_fn(params, x, deterministic=False,
+                            rngs={"dropout": rng})
+    else:
+        def bound(params, x, rng):
+            del rng
+            return apply_fn(params, x)
+    return bound
 
 
 def _fluidnet_loss_fn(apply_fn, cfg: TrainStepConfig):
-    def loss_fn(params, batch):
-        u, v, p = apply_fn(params, batch["x"])
+    def loss_fn(params, batch, rng=None):
+        u, v, p = apply_fn(params, batch["x"], rng)
         br = fluidnet_loss(
             u, v, p, batch["y"], p_pred=cfg.p_pred,
             loss_scale=cfg.loss_scale,
@@ -66,7 +85,7 @@ def _unet_reassemble(x, T, u, v, paras, yc, roll_forward, p=None):
 
 
 def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, rng=None):
         x = batch["x"]
         paras = batch["paras"]
         yc = batch["yc"]
@@ -77,13 +96,14 @@ def _unet_loss_fn(apply_fn, cfg: TrainStepConfig):
         v = x[..., 9]
         p = None
         for r in range(cfg.roll_forward):
+            ri = None if rng is None else jax.random.fold_in(rng, r)
             xi = _unet_reassemble(x, T, u, v, paras, yc, cfg.roll_forward,
                                   p=p)
             if r < cfg.roll_forward - 1:
                 u, v, p, T = jax.lax.stop_gradient(
-                    apply_fn(params, xi))
+                    apply_fn(params, xi, ri))
             else:
-                u, v, p, T = apply_fn(params, xi)
+                u, v, p, T = apply_fn(params, xi, ri)
         br = unet_loss(
             u, v, p, T, batch["y"], p_pred=cfg.p_pred,
             loss_scale=cfg.loss_scale,
@@ -96,8 +116,8 @@ def _transolver_loss_fn(apply_fn, cfg: TrainStepConfig):
     """Transolver outputs live on the (H-2, W-2) VALID interior
     (Transolver_Structured_Mesh_2D-checkpoint.py:201-204) — the target is
     cropped accordingly."""
-    def loss_fn(params, batch):
-        u, v, p = apply_fn(params, batch["x"])
+    def loss_fn(params, batch, rng=None):
+        u, v, p = apply_fn(params, batch["x"], rng)
         y = batch["y"][..., 1:-1, 1:-1]
         br = fluidnet_loss(
             u, v, p, y, p_pred=cfg.p_pred, loss_scale=cfg.loss_scale,
@@ -110,8 +130,8 @@ def _convae_loss_fn(apply_fn, cfg: TrainStepConfig):
     """ConvAE reconstruction loss (the reference's lost ``get_loss_convae``
     path, multigpu.py:311-314 — documented reconstruction): L1 on the
     reconstructed (u, v) channels + the mass penalty."""
-    def loss_fn(params, batch):
-        out = apply_fn(params, batch["x"])
+    def loss_fn(params, batch, rng=None):
+        out = apply_fn(params, batch["x"], rng)
         # ConvAE curl output channel order: (passthrough..., u, v[, p])
         if cfg.p_pred:
             u, v = out[..., -3], out[..., -2]
@@ -127,6 +147,7 @@ def _convae_loss_fn(apply_fn, cfg: TrainStepConfig):
 
 
 def make_loss_fn(apply_fn: Callable, cfg: TrainStepConfig):
+    apply_fn = _bind_apply(apply_fn, cfg)
     if cfg.remat:
         apply_fn = jax.checkpoint(apply_fn)
     if cfg.net in ("unet", "iunet"):
@@ -149,13 +170,22 @@ def make_train_step(
 ):
     """Build ``train_step(params, opt_state, batch) -> (params, opt_state,
     LossBreakdown)``. With ``mesh``, the step is a shard_map over the batch
-    axis with gradient pmean (DP over ICI)."""
+    axis with gradient pmean (DP over ICI).
+
+    With ``cfg.drop_rate > 0`` the step takes a fourth argument — a
+    per-step PRNG key — and runs the model in training mode (dropout
+    active, pytorch_networks_convae.py:795-799). Under the mesh the key is
+    folded with the device index so each shard draws an independent mask.
+    """
 
     loss_fn = make_loss_fn(apply_fn, cfg)
+    use_dropout = cfg.drop_rate > 0.0
 
-    def _step(params, opt_state, batch):
+    def _step(params, opt_state, batch, rng=None):
+        if use_dropout and mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         (_, br), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch)
+            params, batch, rng)
         if mesh is not None:
             grads = jax.lax.pmean(grads, axis_name)
             br = jax.lax.pmean(br, axis_name)
@@ -168,19 +198,28 @@ def make_train_step(
 
     rep = P()
     batch_spec = P(axis_name)
-    step = shard_map(
-        _step, mesh=mesh,
-        in_specs=(rep, rep, batch_spec),
-        out_specs=(rep, rep, rep),
-    )
+    if use_dropout:
+        step = shard_map(
+            _step, mesh=mesh,
+            in_specs=(rep, rep, batch_spec, rep),
+            out_specs=(rep, rep, rep),
+        )
+    else:
+        step = shard_map(
+            lambda p, o, b: _step(p, o, b), mesh=mesh,
+            in_specs=(rep, rep, batch_spec),
+            out_specs=(rep, rep, rep),
+        )
     return jax.jit(step)
 
 
 def make_eval_step(apply_fn: Callable, cfg: TrainStepConfig,
                    mesh: Optional[Mesh] = None, axis_name: str = "data"):
     """CV-loss step (no grad) — the reference's no_grad cv loop
-    (multigpu.py:383-410)."""
-    loss_fn = make_loss_fn(apply_fn, cfg)
+    (multigpu.py:383-410). Always deterministic: dropout is disabled at
+    eval like the reference's ``model.eval()``."""
+    loss_fn = make_loss_fn(apply_fn,
+                           dataclasses.replace(cfg, drop_rate=0.0))
 
     def _step(params, batch) -> LossBreakdown:
         _, br = loss_fn(params, batch)

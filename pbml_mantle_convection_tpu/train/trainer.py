@@ -135,7 +135,13 @@ class Trainer:
         step_cfg = TrainStepConfig(
             net=cfg.model.network, p_pred=cfg.model.p_pred,
             loss_scale=cfg.loss_scale, loss_derivative=cfg.loss_derivative,
-            loss_type=cfg.model.loss_type, roll_forward=cfg.roll_forward)
+            loss_type=cfg.model.loss_type, roll_forward=cfg.roll_forward,
+            drop_rate=getattr(cfg.model, "drop_rate", 0.0))
+        # per-step dropout keys (reference trains with nn.Dropout active,
+        # multigpu.py -d_r; models in .train() mode)
+        self._use_dropout = step_cfg.drop_rate > 0.0
+        self._dropout_base_key = jax.random.PRNGKey(cfg.seed + 1)
+        self._global_step = 0
         self._train_step = make_train_step(
             self.model.apply, self.optimizer, step_cfg, mesh=self.mesh)
         self._eval_step = make_eval_step(self.model.apply, step_cfg,
@@ -233,8 +239,15 @@ class Trainer:
                 self._init_params(batch)
                 self._set_lr(epoch)
             batch = self._maybe_shard(batch)
-            self.params, self.opt_state, br = self._train_step(
-                self.params, self.opt_state, batch)
+            if self._use_dropout:
+                rng = jax.random.fold_in(self._dropout_base_key,
+                                         self._global_step)
+                self.params, self.opt_state, br = self._train_step(
+                    self.params, self.opt_state, batch, rng)
+            else:
+                self.params, self.opt_state, br = self._train_step(
+                    self.params, self.opt_state, batch)
+            self._global_step += 1
             losses += np.asarray([float(x) for x in br])
             n += 1
         losses = [float(x) for x in losses / max(n, 1)]

@@ -131,6 +131,52 @@ def test_unet_engine_rollout():
     assert float(state.t) > 0
 
 
+def test_ml_mode_equals_ml_stokes_in_jax_engine():
+    """In the pure-JAX engine, ML and ML_STOKES coincide because the
+    native energy step was proven equal to the JAX step at rtol 1e-12
+    (tests/test_sim_aux.py); the intervene_ts distinction is exercised via
+    rollout_native. This states that equivalence as a test (it was only a
+    docstring, sim/engine.py:14-17)."""
+    e1 = _make_engine(mode="ML", intervene_ts=3)
+    e2 = _make_engine(mode="ML_STOKES")
+    s1 = e1.init_state(1.0 - e1.grid.yc[None])
+    s2 = e2.init_state(1.0 - e2.grid.yc[None])
+    s1, t1, _ = e1.rollout(s1, 40)
+    s2, t2, _ = e2.rollout(s2, 40)
+    np.testing.assert_array_equal(np.asarray(s1.T), np.asarray(s2.T))
+    np.testing.assert_array_equal(np.asarray(t1.mean_T),
+                                  np.asarray(t2.mean_T))
+
+
+def test_ml_pre_mode_refines_toward_iterative_solution():
+    """ML_PRE ≠ ML_STOKES: the surrogate prediction is refined by a short
+    warm-started PT momentum solve, moving the velocities toward the full
+    iterative solution (advect_wi_gaia.py:221,488)."""
+    from pbml_mantle_convection_tpu.physics.stokes import make_stokes_fn
+
+    grid = Grid(H=24, W=34)
+    fn = make_stokes_fn(grid, raq=2.0, n_iter=3000, pre_iter=400)
+    e_pre = _make_engine(grid=grid, mode="ML_PRE", stokes_fn=fn)
+    e_ml = _make_engine(grid=grid, mode="ML_STOKES")
+
+    T0 = 1.0 - grid.yc[None]
+    s_pre = jax.jit(e_pre.step)(e_pre.init_state(T0))
+    s_ml = jax.jit(e_ml.step)(e_ml.init_state(T0))
+
+    # distinct modes: refined velocities differ from the raw surrogate's
+    assert float(jnp.max(jnp.abs(s_pre.u - s_ml.u))) > 0
+
+    # the refinement moves toward the full iterative solve
+    from pbml_mantle_convection_tpu.physics.viscosity import fk_viscosity
+    T = e_ml.init_state(T0).T
+    V = fk_viscosity(jnp.asarray(1e7, T.dtype), jnp.asarray(3.0, T.dtype),
+                     1.0 - grid.yc.astype(T.dtype), T)
+    u_ref, v_ref, _ = fn(T, V)   # cold converged solve
+    err_pre = float(jnp.mean(jnp.abs(s_pre.v - v_ref)))
+    err_ml = float(jnp.mean(jnp.abs(s_ml.v - v_ref)))
+    assert err_pre < err_ml
+
+
 def test_batched_multi_sim_rollout():
     """B>1 simultaneous simulations in one scan (TPU-native capability)."""
     eng = _make_engine()

@@ -120,6 +120,89 @@ class TestNativeEngine:
         Tg = T.reshape(H, W)
         assert np.allclose(Tg[0], 1.0) and np.allclose(Tg[-1], 0.0)
 
+    def test_native_momentum_matches_jax_pt_solver(self, tmp_path):
+        """Cross-implementation equivalence of the MOMENTUM side: the C++
+        urf_mm iterative solve (gaia_engine.cpp:solve_momentum) mirrors
+        physics/stokes.py:PTStokesSolver operation for operation, so the
+        two must agree to near machine precision after the same number of
+        PT iterations (VERDICT round-1 item 5; GAIA solver config
+        prepare_gaia_ini.py:139-146)."""
+        try:
+            from pbml_mantle_convection_tpu.sim.gaia_native import Direct
+        except Exception as e:  # pragma: no cover - no compiler
+            pytest.skip(f"native build unavailable: {e}")
+        import jax.numpy as jnp
+        from pbml_mantle_convection_tpu.physics.stokes import PTStokesSolver
+
+        ini = str(tmp_path / "Gaia.ini")
+        create_ini_file(ini, GaiaIniConfig(
+            mode="GAIA", raq=5.0, fkt=1e4, fkp=3.0, layers=16,
+            aspect_ratio=2.0, solver="iterative", urf=1.0))
+        sim = Direct()
+        sim.init1()
+        sim.iniLoad(ini)
+        sim.init2()
+        H, W = sim.shape
+        assert (H, W) == (18, 34)
+        state = sim.getState()
+
+        # smooth temperature blob; refresh FK viscosity from it
+        y = state["pos"][:, 1].reshape(H, W)
+        x = state["pos"][:, 0].reshape(H, W)
+        T0 = (1.0 - y) + 0.2 * np.exp(
+            -((x - 0.75) ** 2 + (y - 0.4) ** 2) / 0.05)
+        T0[0], T0[-1] = 1.0, 0.0
+        state["T"][:] = T0.reshape(-1)
+        sim.updateViscosity()
+        V0 = state["V"].reshape(H, W).copy()
+
+        n_iter = 1500
+        sim.solveMomentum(n_iter)
+
+        solver = PTStokesSolver(
+            ny=H - 2, nx=W - 2, dy=1.0 / 16, dx=2.0 / (W - 2),
+            raq=5.0, n_iter=n_iter)
+        res = solver.solve(jnp.asarray(T0[1:-1, 1:-1]),
+                           jnp.asarray(V0[1:-1, 1:-1]))
+
+        np.testing.assert_allclose(
+            state["v"][:, 0].reshape(H, W), np.asarray(res.u),
+            rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            state["v"][:, 1].reshape(H, W), np.asarray(res.v),
+            rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            state["P"].reshape(H, W), np.asarray(res.p),
+            rtol=1e-9, atol=1e-12)
+
+    def test_native_self_contained_gaia_mode(self, tmp_path):
+        """mode=GAIA fully native: with setSolveMomentum(True) the engine
+        solves its own momentum each step (no caller velocities) and the
+        coupled run develops convective flow."""
+        try:
+            from pbml_mantle_convection_tpu.sim.gaia_native import Direct
+        except Exception as e:  # pragma: no cover - no compiler
+            pytest.skip(f"native build unavailable: {e}")
+        ini = str(tmp_path / "Gaia.ini")
+        create_ini_file(ini, GaiaIniConfig(
+            mode="GAIA", raq=5.0, fkt=1e3, fkp=2.0, layers=16,
+            aspect_ratio=2.0, solver="iterative", urf=1.0))
+        sim = Direct()
+        sim.init1()
+        sim.iniLoad(ini)
+        sim.iniLoad(ini)
+        sim.init2()
+        sim.setSolveMomentum(True)
+        state = sim.getState()
+        for _ in range(5):
+            dt = sim.doTimestep()
+            assert dt > 0
+        assert np.isfinite(state["T"]).all()
+        # momentum was solved natively: nonzero interior velocities
+        H, W = sim.shape
+        v = state["v"][:, 1].reshape(H, W)
+        assert np.abs(v[1:-1, 1:-1]).max() > 0
+
     def test_energy_step_matches_jax(self, sim):
         """Cross-implementation equivalence: the C++ energy step and the
         JAX advect_diffuse_step produce the same field from the same

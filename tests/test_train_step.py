@@ -229,6 +229,62 @@ def test_unet_p_pred_eleven_channels():
     assert np.isfinite(float(br.total))
 
 
+def test_dropout_active_in_training_only():
+    """drop_rate > 0: training is stochastic per step (the reference trains
+    with nn.Dropout active, pytorch_networks_convae.py:795-799, -d_r flag);
+    eval stays deterministic."""
+    rng = np.random.default_rng(12)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
+                        repeats=1, p_pred=False, drop_rate=0.5)
+    batch = _tiny_batch(rng, 4)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="newfluidnet", loss_type="curl",
+                          drop_rate=0.5)
+    step = make_train_step(model.apply, opt, cfg)
+
+    k1, k2 = jax.random.PRNGKey(100), jax.random.PRNGKey(200)
+    _, _, br_a = step(params, opt.init(params), batch, k1)
+    _, _, br_b = step(params, opt.init(params), batch, k2)
+    _, _, br_a2 = step(params, opt.init(params), batch, k1)
+    assert float(br_a.total) != float(br_b.total)  # different masks
+    np.testing.assert_allclose(float(br_a.total), float(br_a2.total),
+                               rtol=1e-12)         # same key → same mask
+
+    # without dropout the same two calls agree exactly
+    cfg0 = TrainStepConfig(net="newfluidnet", loss_type="curl")
+    step0 = make_train_step(model.apply, opt, cfg0)
+    _, _, br0a = step0(params, opt.init(params), batch)
+    _, _, br0b = step0(params, opt.init(params), batch)
+    np.testing.assert_allclose(float(br0a.total), float(br0b.total),
+                               rtol=1e-12)
+    # eval is deterministic even when cfg carries a drop_rate
+    ev = make_eval_step(model.apply, cfg)
+    np.testing.assert_allclose(float(ev(params, batch).total),
+                               float(ev(params, batch).total), rtol=1e-12)
+    # dropout changes training loss vs eval loss on identical inputs
+    assert float(br_a.total) != float(br0a.total)
+
+
+def test_dropout_dp_mesh():
+    """The dropout rng threads through the shard_map DP step with a
+    per-device fold-in."""
+    rng = np.random.default_rng(13)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
+                        repeats=1, p_pred=False, drop_rate=0.3)
+    batch = _tiny_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="newfluidnet", loss_type="curl",
+                          loss_scale=False, drop_rate=0.3)
+    mesh = make_mesh(8)
+    stepN = make_train_step(model.apply, opt, cfg, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+    pN, _, brN = stepN(params, opt.init(params), sharded,
+                       jax.random.PRNGKey(7))
+    assert np.isfinite(float(brN.total))
+
+
 def test_vit_field_train_step():
     from pbml_mantle_convection_tpu.data import (
         SnapshotDataset, synthetic_store)
