@@ -185,7 +185,19 @@ class SimEngine:
                 jnp.asarray(self.params.fkt, T.dtype),
                 jnp.asarray(self.params.fkp, T.dtype),
                 1.0 - self.grid.yc.astype(T.dtype), T)
-            u, v, p = self.stokes_fn(T, V)
+            if self.intervene_ts > 1:
+                # momentum-skip mode (GAIA MMSolverSkip,
+                # prepare_gaia_ini.py:152 / the reference speedup study's
+                # "GAIA-100-momentum-skips" configuration): solve momentum
+                # every intervene_ts-th step, advect with stale velocities
+                # in between.
+                u, v, p = jax.lax.cond(
+                    state.n_step % self.intervene_ts == 0,
+                    lambda _: self.stokes_fn(T, V),
+                    lambda _: (state.u, state.v, state.p),
+                    None)
+            else:
+                u, v, p = self.stokes_fn(T, V)
         elif self.mode == "ML_PRE":
             # ML_PRE: the surrogate's velocities warm-start a *short*
             # iterative momentum solve (the reference's "ml stokes

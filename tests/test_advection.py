@@ -1,6 +1,7 @@
 """Advection–diffusion stepper vs a torch oracle of the reference ADNet."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
@@ -85,6 +86,7 @@ def test_matches_torch_adnet():
                                rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_pure_diffusion_converges_to_conductive_profile():
     """With zero velocity and no heating, T must relax to the linear
     conductive profile between the Dirichlet plates."""

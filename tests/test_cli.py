@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic(tmp_path):
     from pbml_mantle_convection_tpu.cli.train import main
     tr = main(["-net", "newfluidnet", "-l", "2", "-f", "8", "-r", "1",
@@ -19,6 +20,7 @@ def test_train_cli_synthetic(tmp_path):
     assert len(lines) == 2 and lines[0].startswith("Epoch")
 
 
+@pytest.mark.slow
 def test_rollout_cli_jax(tmp_path):
     from pbml_mantle_convection_tpu.cli.rollout import main
     main(["-m", "ML_STOKES", "-raq", "3.0", "-fkt", "1e8", "-fkp", "10",

@@ -29,6 +29,8 @@ from pbml_mantle_convection_tpu.train.train_step import (
     TrainStepConfig, make_train_step)
 from pbml_mantle_convection_tpu.utils.evaluation import temperature_rmse
 
+pytestmark = pytest.mark.slow
+
 GRID = Grid(H=20, W=30, aspect=1.5)
 PARAMS = SimParams(raq=6.0, fkt=1e3, fkp=2.0)
 N_STEPS = 120

@@ -148,6 +148,31 @@ def test_ml_mode_equals_ml_stokes_in_jax_engine():
                                   np.asarray(t2.mean_T))
 
 
+def test_gaia_momentum_skip_reuses_velocities():
+    """mode='GAIA' with intervene_ts>1 = the reference's MMSolverSkip
+    (prepare_gaia_ini.py:152): momentum solved every Nth step, stale
+    velocities in between."""
+    from pbml_mantle_convection_tpu.physics.stokes import make_stokes_fn
+
+    grid = Grid(H=24, W=34)
+    fn = make_stokes_fn(grid, raq=2.0, n_iter=300)
+    eng = _make_engine(grid=grid, mode="GAIA", intervene_ts=3,
+                       stokes_fn=fn)
+    T0 = (1.0 - grid.yc + 0.2 * jnp.cos(np.pi * grid.xc / grid.aspect)
+          * jnp.sin(np.pi * grid.yc))[None]
+    state = eng.init_state(T0)
+    step = jax.jit(eng.step)
+    us = []
+    for _ in range(6):
+        state = step(state)
+        us.append(np.asarray(state.u))
+    # steps 0 (n_step=0) and 3 solve; 1, 2 reuse step-0 velocities
+    np.testing.assert_array_equal(us[0], us[1])
+    np.testing.assert_array_equal(us[1], us[2])
+    assert np.max(np.abs(us[3] - us[2])) > 0
+    np.testing.assert_array_equal(us[3], us[4])
+
+
 def test_ml_pre_mode_refines_toward_iterative_solution():
     """ML_PRE ≠ ML_STOKES: the surrogate prediction is refined by a short
     warm-started PT momentum solve, moving the velocities toward the full

@@ -1,6 +1,7 @@
 """Evaluation utilities, preprocessing pipeline, and GAIA-mode engine."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pbml_mantle_convection_tpu.constants import SimParams
@@ -89,6 +90,7 @@ def test_engine_gaia_mode_with_pt_stokes():
     assert float(jnp.max(jnp.abs(state.u))) > 0  # flow developed
 
 
+@pytest.mark.slow
 def test_one_epoch_functional():
     import optax
     from pbml_mantle_convection_tpu.models import NewFluidNet

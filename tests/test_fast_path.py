@@ -57,9 +57,11 @@ def _check_model(r_p, H, W, levels=3, repeats=2, p_pred=False, blurr=False):
 
 
 class TestFastNewFluidNet:
+    @pytest.mark.slow
     def test_learned_divisible_grid(self):
         _check_model("learned", 32, 64)
 
+    @pytest.mark.slow
     def test_learned_reference_grid_shape(self):
         # 506 is not divisible by 4 → exercises padding + masked GN
         _check_model("learned", 32, 54)
@@ -67,16 +69,19 @@ class TestFastNewFluidNet:
     def test_zeros_padding(self):
         _check_model("zeros", 32, 64)
 
+    @pytest.mark.slow
     def test_zeros_nondivisible(self):
         _check_model("zeros", 36, 54)
 
     def test_with_pressure(self):
         _check_model("learned", 32, 64, p_pred=True)
 
+    @pytest.mark.slow
     def test_full_reference_grid(self):
         _check_model("learned", 128, 506, levels=2, repeats=1)
 
 
+@pytest.mark.slow
 def test_fast_inexact_mode_close():
     """Opt-in bf16-trunk + tanh-GELU mode stays within ~1% of exact."""
     model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",

@@ -47,6 +47,7 @@ class TestNewFluidNet:
         u, v, p = m.apply(params, x)
         assert p is None
 
+    @pytest.mark.slow
     def test_symm_spectral_variants(self):
         for kw in ({"use_symm": True}, {"spectral_conv": True}):
             m = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
@@ -74,7 +75,8 @@ class TestFluidNet:
 
 
 class TestUnet:
-    @pytest.mark.parametrize("r_p", ["replicate", "learned"])
+    @pytest.mark.parametrize("r_p", [
+        pytest.param("replicate", marks=pytest.mark.slow), "learned"])
     def test_curl_uvpt(self, r_p):
         m = Unet(levels=3, c_i=10, c_h=8, c_o=2, r_p=r_p, loss_type="curl",
                  f=5, repeats=2, p_pred=False)
@@ -97,6 +99,7 @@ class TestUnet:
 
 
 class TestConvAE:
+    @pytest.mark.slow
     def test_curl_output(self):
         m = ConvAE(levels=2, c_i=3, c_h=4, c_o=3, loss_type="curl",
                    repeats=1, p_pred=True)

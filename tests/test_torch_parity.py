@@ -184,6 +184,102 @@ def test_adnet_parity(torch_mods):
                                rtol=1e-10, atol=1e-12)
 
 
+def _coupled_rollout_pair(torch_mods, n_steps, seed=4):
+    """Run the reference coupled loop (TS(NewFluidNet, ADNet) iterated as
+    in advect_wi_gaia.py:583-677, pure-ML mode) against SimEngine with the
+    same converted weights; returns (mean-T traces, final T fields)."""
+    torch, ref = torch_mods
+    import torch as _t
+    from pbml_mantle_convection_tpu.constants import SimParams
+    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.sim.engine import SimEngine
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+    from pbml_mantle_convection_tpu.utils.torch_convert import (
+        convert_fluidnet)
+
+    levels, c_h, repeats, k = 3, 8, 2, 5
+    g = Grid()
+    params = SimParams(raq=2.5, fkt=1e7, fkp=5.0)
+
+    tm = ref.NewFluidNet(
+        levels, 7, c_h, 1, torch.device("cpu"), "gelu", "learned", "curl",
+        use_symm=False, a_bound=10, repeats=repeats, f=k,
+        p_pred=False).double()
+    tm.eval()
+    sd = {kk: v.detach().numpy() for kk, v in tm.state_dict().items()}
+    jparams = jax.tree.map(jnp.asarray, convert_fluidnet(sd, levels,
+                                                         repeats))
+    jm = NewFluidNet(levels=levels, c_i=7, c_h=c_h, c_o=1, act_fn="gelu",
+                     r_p="learned", loss_type="curl", use_symm=False,
+                     a_bound=10, repeats=repeats, f=k, p_pred=False)
+
+    # shared smooth initial temperature (stamped like the driver's)
+    yc = np.asarray(g.yc, np.float64)
+    xc = np.asarray(g.xc, np.float64)
+    T0 = (1.0 - yc) + 0.05 * np.cos(np.pi * xc / g.aspect) * np.sin(
+        np.pi * yc)
+    T0[0, :], T0[-1, :] = 1.0, 0.0
+
+    # --- reference loop: TS iterated step by step (ts=1, ML mode) ---
+    adnet = ref.ADNet(device=torch.device("cpu"), CN_max=0.99).double()
+    ts_net = ref.TS(tm, adnet, torch.device("cpu"), ts=1,
+                    advection_scheme=2, scale=True, p_pred=False,
+                    net="newfluidnet")
+    xc_t = _t.tensor(xc)[None, None]
+    yc_t = _t.tensor(yc)[None, None]
+    sc = [_t.tensor(float(v), dtype=_t.float64).view(1, 1, 1, 1)
+          for v in (params.raq_nd, params.fkt_nd, params.fkp_nd)]
+    raq_t = _t.tensor(2.5, dtype=_t.float64)
+    fkt_t = _t.tensor(1e7, dtype=_t.float64)
+    fkp_t = _t.tensor(5.0, dtype=_t.float64)
+
+    T_ref = _t.tensor(T0)[None, None]
+    trace_ref = []
+    with _t.no_grad():
+        for _ in range(n_steps):
+            x, dts, u, v, p, V = ts_net(
+                T_ref, None, None, yc_t, sc[0], sc[1], sc[2],
+                raq_t, fkt_t, fkp_t, xc_t, yc_t)
+            T_ref = x[1]
+            trace_ref.append(float(T_ref.mean()))
+
+    # --- our engine: the same coupled step inside one lax.scan ---
+    stepper = TimeStepper(grid=g, params=params,
+                          apply_fn=lambda xi: jm.apply(jparams, xi),
+                          net="newfluidnet", cn_max=0.99,
+                          dtype=jnp.float64)
+    eng = SimEngine(grid=g, params=params, stepper=stepper,
+                    mode="ML_STOKES", dtype=jnp.float64)
+    state = eng.init_state(jnp.asarray(T0)[None])
+    state, trace = jax.jit(eng.multi_step, static_argnums=1)(
+        state, n_steps)
+
+    return (np.asarray(trace_ref), np.asarray(trace.mean_T),
+            T_ref.numpy()[0, 0], np.asarray(state.T[0]))
+
+
+@pytest.mark.slow
+def test_coupled_rollout_parity(torch_mods):
+    """Multi-step coupled-loop parity (the accuracy half of the north
+    star): 50 coupled TS+ADNet steps tracked between the torch reference
+    and SimEngine. Per-step agreement is ~1e-9; drift compounds ~√N, so
+    the bound leaves margin above 1e-9·√50."""
+    tr_ref, tr_jax, T_ref, T_jax = _coupled_rollout_pair(torch_mods, 50)
+    np.testing.assert_allclose(tr_jax, tr_ref, rtol=0, atol=5e-8)
+    assert np.max(np.abs(T_jax - T_ref)) < 1e-6
+
+
+@pytest.mark.slow
+def test_coupled_rollout_parity_500(torch_mods):
+    """The full 500-step T-RMSE check (north-star accuracy clause); the
+    measured figure is recorded in PARITY.md."""
+    tr_ref, tr_jax, T_ref, T_jax = _coupled_rollout_pair(torch_mods, 500)
+    rmse = float(np.sqrt(np.mean((T_jax - T_ref) ** 2)))
+    assert rmse < 1e-6
+    np.testing.assert_allclose(tr_jax, tr_ref, rtol=0, atol=5e-7)
+
+
 def test_scaler_parity():
     """scale_var/unscale_var vs the reference scaler.py."""
     import importlib.util

@@ -1,6 +1,7 @@
 """Loss + train-step tests, incl. the 8-device DP mesh on CPU."""
 
 import numpy as np
+import pytest
 import optax
 import torch
 import jax
@@ -187,6 +188,7 @@ def test_convae_train_step():
     assert np.isfinite(float(br.total))
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches():
     """remat=True must give identical updates (FLOPs-for-memory only)."""
     rng = np.random.default_rng(9)
@@ -205,6 +207,7 @@ def test_remat_train_step_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_unet_p_pred_eleven_channels():
     """p_pred U-Net: the 11th (p_prev) channel flows end to end — the
     reference declares c_i=11 but never assembles it (datasetio.py:258-274)."""
@@ -251,21 +254,15 @@ def test_dropout_active_in_training_only():
     np.testing.assert_allclose(float(br_a.total), float(br_a2.total),
                                rtol=1e-12)         # same key → same mask
 
-    # without dropout the same two calls agree exactly
-    cfg0 = TrainStepConfig(net="newfluidnet", loss_type="curl")
-    step0 = make_train_step(model.apply, opt, cfg0)
-    _, _, br0a = step0(params, opt.init(params), batch)
-    _, _, br0b = step0(params, opt.init(params), batch)
-    np.testing.assert_allclose(float(br0a.total), float(br0b.total),
-                               rtol=1e-12)
-    # eval is deterministic even when cfg carries a drop_rate
+    # eval is deterministic even when cfg carries a drop_rate, and it
+    # differs from the dropout-active training loss on identical inputs
     ev = make_eval_step(model.apply, cfg)
-    np.testing.assert_allclose(float(ev(params, batch).total),
-                               float(ev(params, batch).total), rtol=1e-12)
-    # dropout changes training loss vs eval loss on identical inputs
-    assert float(br_a.total) != float(br0a.total)
+    e1, e2 = float(ev(params, batch).total), float(ev(params, batch).total)
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+    assert float(br_a.total) != e1
 
 
+@pytest.mark.slow
 def test_dropout_dp_mesh():
     """The dropout rng threads through the shard_map DP step with a
     per-device fold-in."""
@@ -285,6 +282,7 @@ def test_dropout_dp_mesh():
     assert np.isfinite(float(brN.total))
 
 
+@pytest.mark.slow
 def test_vit_field_train_step():
     from pbml_mantle_convection_tpu.data import (
         SnapshotDataset, synthetic_store)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pbml_mantle_convection_tpu.constants import SimParams
@@ -31,6 +32,7 @@ def _cfg(**kw):
                        milestones=(1,), **kw)
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path):
     train, cv, init = _datasets()
     tr = Trainer(_cfg(), train, cv, train_data_init=init,
@@ -48,6 +50,7 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(tr.nn_dir, "1_fluidnet_uvp.ckpt"))
 
 
+@pytest.mark.slow
 def test_trainer_restart(tmp_path):
     train, cv, init = _datasets()
     tr = Trainer(_cfg(), train, cv, nn_dir=str(tmp_path))

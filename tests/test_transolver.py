@@ -49,6 +49,7 @@ def test_transolver_structured_curl_divergence():
     assert np.max(np.abs(mass)) < 1e-12
 
 
+@pytest.mark.slow
 def test_vit_shapes():
     m = ViT(image_size=(16, 24), patch_size=(8, 8), num_classes=3, dim=32,
             depth=2, heads=2, mlp_dim=64, channels=7)
@@ -72,8 +73,10 @@ class TestRegistry:
         assert cfg.channels == (7, 3)
 
     @pytest.mark.parametrize("net", [
-        "newfluidnet", "fluidnet", "unet", "convae",
-        "multiscalenewfluidnet", "transolver_structured", "vit"])
+        pytest.param("newfluidnet", marks=pytest.mark.slow), "fluidnet",
+        "unet", pytest.param("convae", marks=pytest.mark.slow),
+        "multiscalenewfluidnet", "transolver_structured",
+        pytest.param("vit", marks=pytest.mark.slow)])
     def test_build_all(self, net):
         cfg = ModelConfig(network=net, levels=2, c_h=8, repeats=1,
                           kernel=5, H=16, W=24, n_hidden=16, n_head=2,

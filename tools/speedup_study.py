@@ -1,0 +1,227 @@
+"""Hermetic speedup / ablation study — the framework's analogue of the
+reference's solver-comparison notebook cell
+(load_advection_results-checkpoint.ipynb cell 5: GAIA-MUMPS vs
+GAIA-momentum-skips vs iterative vs ML_STOKES), runnable without the
+reference dataset.
+
+Pipeline (all on a coarse grid, CPU or TPU):
+
+1. ground truth: mode="GAIA" rollout with the converged iterative PT
+   Stokes solver (the MUMPS stand-in), wall-timed per step;
+2. train the flagship surrogate architecture on that trajectory
+   (the hermetic miniature of the reference's training pipeline);
+3. roll out the same time span in each solver configuration:
+     GAIA           — converged PT solve every step (baseline)
+     GAIA-skipN     — momentum solved every N steps (MMSolverSkip,
+                      prepare_gaia_ini.py:152)
+     ML_STOKES      — surrogate velocities every step
+     ML_PRE         — surrogate warm-starts a short PT refinement
+                      (advect_wi_gaia.py:221,488)
+4. report per mode: wall/step, speedup vs GAIA, final-field T-RMSE and
+   Pearson r vs ground truth, mean-T trace RMSE
+   (utils/evaluation.py comparators).
+
+Writes STUDY.md + STUDY.json at the repo root.
+
+Usage: python tools/speedup_study.py [--steps 120] [--out-dir .]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--train-iters", type=int, default=120)
+    ap.add_argument("--out-dir", type=str,
+                    default=os.path.join(os.path.dirname(__file__), ".."))
+    ap.add_argument("--cpu", action="store_true", default=True,
+                    help="force CPU (study is solver-relative; default)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import optax
+
+    from pbml_mantle_convection_tpu.constants import SimParams
+    from pbml_mantle_convection_tpu.data import (SnapshotDataset,
+                                                 SnapshotStore)
+    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.physics.stokes import make_stokes_fn
+    from pbml_mantle_convection_tpu.sim.engine import SimEngine
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+    from pbml_mantle_convection_tpu.train.train_step import (
+        TrainStepConfig, make_train_step)
+    from pbml_mantle_convection_tpu.utils.evaluation import (
+        compare_rollouts, pearson, temperature_rmse)
+
+    # 32 interior layers: large enough that the converged momentum solve
+    # dominates a step (the regime the reference's speedup study probes —
+    # at 128x506 a MUMPS-grade solve is far costlier than a net forward).
+    grid = Grid(H=34, W=50, aspect=1.5)
+    params = SimParams(raq=6.0, fkt=1e3, fkp=2.0)
+    n_steps = args.steps
+    N_ITER = 4000         # converged PT solve (the MUMPS stand-in)
+    PRE_ITER = 400        # ML_PRE refinement budget (n_iter / 10)
+
+    T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(4 * grid.xc)
+                  * jnp.sin(np.pi * grid.yc), 0, 1)[None]
+
+    null_stepper = TimeStepper(grid=grid, params=params,
+                               apply_fn=lambda x: (None, None, None),
+                               dtype=jnp.float64)
+
+    def run(engine, record=False):
+        """Step-by-step timed rollout; returns traces + final state."""
+        state = engine.init_state(T0)
+        step = jax.jit(engine.step)
+        state = step(state)                      # compile outside timing
+        state = engine.init_state(T0)
+        ts, t_vec, mT = [], [], []
+        snaps = []
+        for i in range(n_steps):
+            t0 = time.perf_counter()
+            state = step(state)
+            state.T.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+            t_vec.append(float(state.t))
+            mT.append(float(jnp.mean(state.T)))
+            if record and i % 4 == 0:
+                snaps.append((np.asarray(state.T[0]),
+                              np.asarray(state.u[0]),
+                              np.asarray(state.v[0])))
+        return state, np.asarray(ts), np.asarray(t_vec), np.asarray(mT), \
+            snaps
+
+    # ---- 1. ground truth ----
+    print("[1/4] ground-truth GAIA rollout (converged PT solver)...")
+    eng_gaia = SimEngine(
+        grid=grid, params=params, stepper=null_stepper, mode="GAIA",
+        stokes_fn=make_stokes_fn(grid, raq=params.raq, n_iter=N_ITER),
+        dtype=jnp.float64)
+    st_ref, ts_gaia, tv_ref, mT_ref, snaps = run(eng_gaia, record=True)
+    T_final_ref = np.asarray(st_ref.T[0])
+
+    # ---- 2. train the surrogate on the trajectory ----
+    print("[2/4] training the surrogate on the trajectory...")
+    n = len(snaps)
+    store = SnapshotStore(
+        T=np.asarray([s[0] for s in snaps]),
+        u=np.asarray([s[1] for s in snaps]),
+        v=np.asarray([s[2] for s in snaps]), p=None,
+        paras=np.tile([params.raq, params.fkt, params.fkp], (n, 1)),
+        step_index=np.arange(1, n + 1, dtype=np.float64),
+        sim_id=np.zeros(n), times=np.zeros(n),
+        xc=np.asarray(grid.xc), yc=np.asarray(grid.yc))
+    ds = SnapshotDataset(store, scale=True, dtype=jnp.float64)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=2, f=5,
+                        p_pred=False)
+    rng = np.random.default_rng(0)
+    w = model.init(jax.random.PRNGKey(0), ds.batch(rng, 8)["x"])
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(w)
+    tstep = make_train_step(model.apply, opt, TrainStepConfig(
+        net="newfluidnet", loss_type="curl", loss_derivative=True))
+    for _ in range(args.train_iters):
+        w, opt_state, br = tstep(w, opt_state, ds.batch(rng, 8))
+    print(f"    final train loss {float(br.total):.5f}")
+
+    ml_stepper = TimeStepper(grid=grid, params=params,
+                             apply_fn=lambda x: model.apply(w, x),
+                             dtype=jnp.float64)
+
+    # ---- 3. the solver configurations ----
+    configs = {
+        "GAIA-skip10": SimEngine(
+            grid=grid, params=params, stepper=null_stepper, mode="GAIA",
+            intervene_ts=10,
+            stokes_fn=make_stokes_fn(grid, raq=params.raq, n_iter=N_ITER),
+            dtype=jnp.float64),
+        "ML_STOKES": SimEngine(
+            grid=grid, params=params, stepper=ml_stepper,
+            mode="ML_STOKES", dtype=jnp.float64),
+        "ML_PRE": SimEngine(
+            grid=grid, params=params, stepper=ml_stepper, mode="ML_PRE",
+            stokes_fn=make_stokes_fn(grid, raq=params.raq, n_iter=N_ITER,
+                                     pre_iter=PRE_ITER),
+            dtype=jnp.float64),
+    }
+
+    rows = {"GAIA": dict(
+        wall_per_step=float(ts_gaia.mean()), speedup=1.0,
+        t_rmse=0.0, pearson=1.0, trace_rmse=0.0)}
+    for i, (name, eng) in enumerate(configs.items()):
+        print(f"[3/4] rollout {name} ({i + 1}/{len(configs)})...")
+        st, ts, tv, mT, _ = run(eng)
+        cmp = compare_rollouts(tv_ref, mT_ref, tv, mT)
+        rows[name] = dict(
+            wall_per_step=float(ts.mean()),
+            speedup=float(ts_gaia.mean() / ts.mean()),
+            t_rmse=temperature_rmse(np.asarray(st.T[0]), T_final_ref),
+            pearson=pearson(np.asarray(st.T[0]), T_final_ref),
+            trace_rmse=cmp["rmse"])
+
+    # ---- 4. report ----
+    print("[4/4] writing STUDY.md / STUDY.json")
+    dev = jax.devices()[0].platform
+    lines = [
+        "# STUDY — hermetic speedup / ablation table",
+        "",
+        "Solver-configuration comparison on a coarse grid "
+        f"({grid.H}x{grid.W}, aspect {grid.aspect}, raq={params.raq}, "
+        f"fkt={params.fkt:g}, fkp={params.fkp:g}), {n_steps} coupled "
+        f"steps, float64, device={dev}. Ground truth = mode=GAIA with the "
+        f"converged PT Stokes solve ({N_ITER} it/step). The surrogate is "
+        "trained hermetically on the ground-truth trajectory "
+        "(tools/speedup_study.py — the framework's analogue of the "
+        "reference speedup study, load_advection_results-checkpoint.ipynb"
+        " cell 5).",
+        "",
+        "| mode | wall/step (ms) | speedup vs GAIA | final T-RMSE | "
+        "Pearson r | mean-T trace RMSE |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in rows.items():
+        lines.append(
+            f"| {name} | {r['wall_per_step'] * 1e3:.2f} | "
+            f"{r['speedup']:.2f}x | {r['t_rmse']:.5f} | "
+            f"{r['pearson']:.5f} | {r['trace_rmse']:.6f} |")
+    lines += [
+        "",
+        "Axes of the trade-off: ML_STOKES replaces the momentum solve "
+        "entirely (cheapest per step, largest model error); ML_PRE "
+        "warm-starts a short PT refinement from the surrogate "
+        "(advect_wi_gaia.py:221,488) — solver-grade fields at ~1/10 the "
+        "iterations; GAIA-skip10 is the reference's MMSolverSkip "
+        "economy (stale velocities between solves). Wall times are "
+        "per-dispatch host-timed (relative comparisons; the headline "
+        "TPU throughput lives in BENCH/PERF.md).",
+        "",
+    ]
+    out_md = os.path.join(args.out_dir, "STUDY.md")
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    with open(os.path.join(args.out_dir, "STUDY.json"), "w") as f:
+        json.dump({"grid": [grid.H, grid.W], "steps": n_steps,
+                   "device": dev, "rows": rows}, f, indent=1)
+    print("\n".join(lines))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
