@@ -27,6 +27,7 @@ def main():
     from pbml_mantle_convection_tpu.constants import SimParams
     from pbml_mantle_convection_tpu.models import NewFluidNet
     from pbml_mantle_convection_tpu.sim.engine import SimEngine
+    from pbml_mantle_convection_tpu.utils.jit import tpu_jit
     from pbml_mantle_convection_tpu.sim.grid import Grid
     from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
 
@@ -62,7 +63,7 @@ def main():
                   0.0, 1.0).astype(dtype)[None]
     state = engine.init_state(T0)
 
-    multi = jax.jit(engine.multi_step, static_argnums=1)
+    multi = tpu_jit(engine.multi_step, static_argnums=1)
 
     n_warm = 20 if on_accel else 4
     n_bench = 500 if on_accel else 10

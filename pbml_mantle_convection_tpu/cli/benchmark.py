@@ -84,7 +84,8 @@ def main(argv=None):
     T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
                   0, 1).astype(dtype)[None]
     state = engine.init_state(T0)
-    multi = jax.jit(engine.multi_step, static_argnums=1)
+    from ..utils.jit import tpu_jit
+    multi = tpu_jit(engine.multi_step, static_argnums=1)
     state, _ = multi(state, 10)
     jax.block_until_ready(state.T)
     t0 = time.perf_counter()

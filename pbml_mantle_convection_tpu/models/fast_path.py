@@ -136,11 +136,21 @@ class FastNewFluidNet:
 
     def __init__(self, model, params, H: int, W: int, f: int = 4,
                  dtype=None, conv_bf16: bool = False,
-                 approx_gelu: bool = False):
+                 approx_gelu: bool = False, megakernel=None):
         """``conv_bf16``/``approx_gelu`` enable the fast-inexact mode:
         convolution inputs/weights in bfloat16 (f32 accumulation) and
         tanh-approximate GELU. Deviates from the reference's float64
-        semantics at the ~1e-3 level — OFF by default."""
+        semantics at the ~1e-3 level — OFF by default.
+
+        ``megakernel`` (default: auto — on for the TPU backend, off
+        elsewhere; pass True to force the interpret-mode kernel on CPU)
+        executes the stem and
+        each branch stack as one whole-branch Pallas kernel with the
+        activation VMEM-resident across ``repeats`` layers
+        (ops/branch_kernel.py, PERF.md idea 1). The kernel uses its own
+        f=2 space-to-depth layout (independent of this object's ``f``);
+        applies when B=1, k=5, factor=2 and the pooled grid chain stays
+        even — falls back to the standard fast path otherwise."""
         self.m = model
         self.f = f
         self.H, self.W = H, W
@@ -191,6 +201,73 @@ class FastNewFluidNet:
             if isinstance(self.merge1, dict):
                 for spec in (self.merge1, self.merge2, self.merge3):
                     spec["w_s2d"] = spec["w_s2d"].astype(jnp.bfloat16)
+
+        # ---- whole-branch megakernel path (ops/branch_kernel.py) ----
+        # the kernel uses its own fr=2 x fc=4 block layout (8C lanes —
+        # full 128-wide MXU at C=16); independent of this object's f
+        if megakernel is None:
+            megakernel = jax.default_backend() == "tpu"
+
+        def _mk_grids_ok():
+            from ..ops.branch_kernel import FR, FC
+            for l in range(model.levels):
+                Hl, Wl = H // 2 ** l, W // 2 ** l
+                if (Hl % FR or Wl % FC or Hl // FR < 3 or Wl // FC < 3):
+                    return False
+            return True
+
+        self.use_megakernel = bool(
+            megakernel and k == 5 and not conv_bf16
+            and model.factor == 2 and getattr(model, "bc_x", 1) == 1
+            and getattr(model, "bc_y", 1) == 1 and _mk_grids_ok())
+        if self.use_megakernel:
+            def raw(tree):
+                conv = tree["conv"]
+                gn = tree["gn"]["GroupNorm_0"]
+                d = {"gn_scale": np.asarray(gn["scale"], dtype),
+                     "gn_bias": np.asarray(gn["bias"], dtype)}
+                if learned:
+                    d["w"] = np.asarray(conv["conv"]["kernel"], dtype)
+                    d["bias"] = np.asarray(conv["learnable_bias"],
+                                           dtype)[0, 0, 0]
+                    for nm in _BLC_ORDER:
+                        d[nm] = np.asarray(conv[nm]["kernel"], dtype)
+                else:
+                    d["w"] = np.asarray(conv["kernel"], dtype)
+                    d["bias"] = np.asarray(conv["bias"], dtype)
+                return d
+
+            # stacks are built lazily on the first B=1 call (host-side
+            # weight transforms are skipped when the fallback path runs)
+            self._mk_raw_stem = [raw(p["conv_0"])]
+            self._mk_raw_branches = [
+                [raw(p[f"convs_{l}_{r}"]) for r in range(model.repeats)]
+                for l in range(model.levels)]
+            self.mk_stem = None
+            self.mk_branches = None
+
+    def _build_megakernel(self):
+        from ..ops.branch_kernel import LayerStack
+
+        m, k = self.m, self.m.f
+        H, W = self.H, self.W
+        learned = m.r_p == "learned"
+        interp = jax.default_backend() != "tpu"   # Mosaic needs TPU
+        act = self.act
+        if not interp and m.act_fn == "gelu" and not self.approx_gelu:
+            # Mosaic has no erf primitive; use XLA's own f32 erf
+            # polynomial in-kernel (numerically the same function)
+            from ..ops.branch_kernel import gelu_erf_kernel
+            act = gelu_erf_kernel
+        self.mk_stem = LayerStack(
+            self._mk_raw_stem, H, W, k, act=act,
+            learned=learned, dtype=self.dtype, interpret=interp)
+        self.mk_branches = []
+        for l in range(m.levels):
+            Hl, Wl = H // (2 ** l), W // (2 ** l)
+            self.mk_branches.append(LayerStack(
+                self._mk_raw_branches[l], Hl, Wl, k, act=act,
+                learned=learned, dtype=self.dtype, interpret=interp))
 
     # ------------------------------------------------------------------
     # band fix-up machinery
@@ -396,6 +473,11 @@ class FastNewFluidNet:
         xp, _ = pad_to_multiple(x, f)
         mask0 = s2d_valid_mask(H, W, f, xp.dtype)
         count0 = float(H * W)
+
+        if self.use_megakernel and B == 1 and mask0 is None:
+            branches_dense = self._megakernel_branches(x, H, W)
+            return self._finish(branches_dense, x, H, W, mask0, count0)
+
         x6 = space_to_depth(xp, f)
 
         stem6 = self._layer(x6, c_i, self.stem, mask0, count0, H, W)
@@ -423,6 +505,35 @@ class FastNewFluidNet:
                 yd = resize_bicubic_nhwc(yd, (H, W))
             branches_dense.append(yd)
 
+        return self._finish(branches_dense, x, H, W, mask0, count0)
+
+    def _megakernel_branches(self, x, H, W):
+        """Stem + branch stacks as whole-branch Pallas kernels
+        (ops/branch_kernel.py); pooling/resizing stay dense XLA ops."""
+        m = self.m
+        from ..ops.branch_kernel import FR, FC
+        from ..ops.s2d import space_to_depth_rect, depth_to_space_rect
+        if self.mk_stem is None:
+            self._build_megakernel()
+        x6 = space_to_depth_rect(x, FR, FC)[0]
+        stem6 = self.mk_stem(x6)
+        branch_in = depth_to_space_rect(stem6[None], FR, FC, m.c_h)
+
+        branches_dense = []
+        for l in range(m.levels):
+            if l > 0:
+                branch_in = avg_pool_nhwc(branch_in, m.factor)
+            y6 = self.mk_branches[l](
+                space_to_depth_rect(branch_in, FR, FC)[0])
+            yd = depth_to_space_rect(y6[None], FR, FC, m.c_h)
+            if l > 0:
+                yd = resize_bicubic_nhwc(yd, (H, W))
+            branches_dense.append(yd)
+        return branches_dense
+
+    def _finish(self, branches_dense, x, H, W, mask0, count0):
+        m = self.m
+        f = self.f
         y = jnp.concatenate(branches_dense + [x], axis=-1)
         c_cat = y.shape[-1]
         yp, _ = pad_to_multiple(y, f)

@@ -1,0 +1,403 @@
+"""Whole-branch Pallas megakernel for the NewFluidNet fast path.
+
+PERF.md idea 1: execute an entire branch stack (``repeats`` FluidLayers —
+conv + learned-boundary bands + bias + GroupNorm + activation) as ONE
+``pallas_call`` with the activation resident in VMEM across layers.
+Removes, per layer, the XLA-level band machinery that dominates the step
+(grouped band convs ~0.54 ms + s2d/d2s slab relayouts ~0.42 + scatter
+~0.22 of a 2.82 ms step at 256², PERF.md profiler attribution).
+
+Layout: rectangular space-to-depth with **fr=2 rows × fc=4 cols** —
+lane size fr·fc·C = 8C = exactly 128 at the flagship C=16, so every
+dot contracts the full MXU width and no physical lane padding occurs
+(the earlier square f=2 draft had C=64 lanes padded to 128: half the
+throughput and double the VMEM).
+
+Band decomposition (k=5, bc=1 ⇒ band width 2):
+
+* rows — 2-dense-row bands are whole fr=2 block rows; each is a plain
+  9-tap s2d matmul of the main-conv structure with that edge's weights
+  evaluated at a shifted block row (the reference's row-flip stitch
+  quirk becomes "evaluate near the opposite edge"):
+      top rows {0,1}        = conv_bottom at block row hr-2
+      bottom rows {H-2,H-1} = conv_top    at block row 1
+* cols — 2-dense-col bands are lane *groups* of the fc=4 edge block
+  cols; the stitch's shift-by-2 turns into a lane-group permutation
+  (a 0/1 128×128 matmul — no reshapes, Mosaic-legal):
+      left  cols {0,1}     = groups b∈{2,3} of conv_left  at block col 0
+      right cols {W-2,W-1} = groups b∈{0,1} of conv_right at block col wc-1
+* corners — single blocks at the crossings, same lane permutation.
+
+Assembly is concatenation over block rows/cols plus lane mask-selects
+(Mosaic has no scatter and no lane-dim reshapes); GroupNorm statistics
+run as 0/1-matrix matmuls; the exact-GELU activation uses XLA's own
+float32 erf polynomial (Mosaic has no erf primitive). The grid
+dimension streams each layer's weights with Pallas' automatic double
+buffering while x/out stay in HBM (whole-buffer DMAs — Mosaic requires
+sliced DMA regions be 128-aligned on lanes, so the zero halo travels
+with the field and the caller pads/slices in XLA).
+
+Band semantics verified against the Flax module by
+tests/test_branch_kernel.py (same standard as tests/test_fast_path.py).
+
+Supported (the flagship rollout configuration): B=1, k=5, bc=1,
+r_p in {learned, zeros}, H % 2 == 0, W % 4 == 0, ≥3 block rows/cols,
+no dropout/spectral. Callers fall back to the standard fast path
+otherwise.
+Reference: pytorch_networks_convae.py:1022-1065 (BLC stitch),
+:702-799 (FluidLayer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .s2d import s2d_conv_weights_rect
+
+FR = 2   # block rows  (dense rows per block — bands = whole block rows)
+FC = 4   # block cols  (dense cols per block — bands = lane groups)
+
+# XLA's ErfImpl32 rational-polynomial coefficients (the same approximation
+# the erf HLO lowers to for float32): erf(x) ≈ x·P(x²)/Q(x²), x∈[-4, 4].
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08,
+              -2.10102402082508e-06, -5.69250639462346e-05,
+              -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04,
+             -1.68282697438203e-03, -7.37332916720468e-03,
+             -1.42647390514189e-02)
+
+
+def erf_poly(x):
+    """float32 erf via XLA's rational polynomial (see above)."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+    p = jnp.asarray(_ERF_ALPHA[0], x.dtype)
+    for a in _ERF_ALPHA[1:]:
+        p = p * x2 + a
+    q = jnp.asarray(_ERF_BETA[0], x.dtype)
+    for b in _ERF_BETA[1:]:
+        q = q * x2 + b
+    return jnp.clip(xc * p / q, -1.0, 1.0)
+
+
+def gelu_erf_kernel(x):
+    """Exact (erf) GELU usable inside Mosaic kernels."""
+    inv_sqrt2 = 0.7071067811865476
+    return 0.5 * x * (1.0 + erf_poly(x * inv_sqrt2))
+
+
+# the 8 BLC band kernels stacked into Wband, in output-region order
+# (flip quirk applied — see module docstring)
+_BAND_SOURCES = (
+    "conv_bottom",        # 0: top output rows {0, 1}
+    "conv_top",           # 1: bottom output rows {H-2, H-1}
+    "conv_left",          # 2: left output cols {0, 1}
+    "conv_right",         # 3: right output cols {W-2, W-1}
+    "conv_bottom_left",   # 4: top-left corner block
+    "conv_bottom_right",  # 5: top-right corner block
+    "conv_top_left",      # 6: bottom-left corner block
+    "conv_top_right",     # 7: bottom-right corner block
+)
+
+
+def _group_mats(co, groups, C):
+    """0/1 matrices (C, G) and (G, C): GroupNorm statistics and
+    broadcast-back as matmuls (no lane reshapes in Mosaic). Lanes beyond
+    fr·fc·co (the unified-C zero padding) map to no group."""
+    n = FR * FC * co
+    M = np.zeros((C, groups), np.float32)
+    for kk in range(n):
+        M[kk, (kk % co) // (co // groups)] = 1.0
+    return M, np.ascontiguousarray(M.T)
+
+
+def _lane_shift_mats(co, C):
+    """0/1 (C, C) lane permutations moving column groups b∈{2,3}→{0,1}
+    (P23to01) and b∈{0,1}→{2,3} (P01to23), plus the keep-masks for the
+    complementary groups. Lane index = (a·FC + b)·co + c."""
+    P23to01 = np.zeros((C, C), np.float32)
+    P01to23 = np.zeros((C, C), np.float32)
+    mask_b01 = np.zeros((C,), np.float32)
+    mask_b23 = np.zeros((C,), np.float32)
+    for a in range(FR):
+        for b in range(FC):
+            for c in range(co):
+                lane = (a * FC + b) * co + c
+                if b < 2:
+                    mask_b01[lane] = 1.0
+                    P01to23[lane, (a * FC + b + 2) * co + c] = 1.0
+                else:
+                    mask_b23[lane] = 1.0
+                    P23to01[lane, (a * FC + b - 2) * co + c] = 1.0
+    return P23to01, P01to23, mask_b01, mask_b23
+
+
+def _stack_kernel(wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref,
+                  gmat_ref, gmat_t_ref, perm_ref, x_hbm, out_hbm,
+                  src, sem, *, R, hr, wc, co, groups, act, learned,
+                  acc_dtype):
+    """One grid step = one FluidLayer on the VMEM-resident field.
+
+    All channel dims are host-padded to a common lane size C (Mosaic
+    forbids lane-dim slices not aligned to the 128 tiling); padded
+    channels carry exact zeros through conv -> zeroed-affine GN -> GELU.
+    """
+    r = pl.program_id(0)
+    H, W = hr * FR, wc * FC
+
+    # whole-buffer DMAs only (module docstring): the halo travels with
+    # the field
+    @pl.when(r == 0)
+    def _load():
+        dma = pltpu.make_async_copy(x_hbm, src, sem)
+        dma.start()
+        dma.wait()
+
+    def dot(xs, wv, precision=None):
+        return lax.dot_general(xs, wv, (((xs.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=acc_dtype,
+                               precision=precision)
+
+    # ---- main conv: 9 shifted s2d taps (padded scratch) ----
+    y = None
+    for P in range(3):
+        for Q in range(3):
+            t = dot(src[P:P + hr, Q:Q + wc, :], wmain_ref[0, P, Q])
+            y = t if y is None else y + t
+
+    if learned:
+        # every band = the same 9-tap structure with that edge's weights,
+        # evaluated at a shifted block position (module docstring). All
+        # indices are into the padded scratch (+1 offset).
+        def conv_row(widx, i):
+            """s2d conv output at block row i (full width) → (wc, C)."""
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[i + P, Q:Q + wc, :],
+                            wband_ref[0, widx, P, Q])
+                    out = t if out is None else out + t
+            return out
+
+        def conv_col(widx, j):
+            """s2d conv output at block col j (full height) → (hr, C)."""
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[P:P + hr, j + Q, :],
+                            wband_ref[0, widx, P, Q])
+                    out = t if out is None else out + t
+            return out
+
+        def conv_blk(widx, i, j):
+            """s2d conv output at single block (i, j) → (1, C)."""
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[i + P, j + Q:j + Q + 1, :],
+                            wband_ref[0, widx, P, Q])
+                    out = t if out is None else out + t
+            return out
+
+        # col-band / corner weights carry the b∈{2,3}↔{0,1} lane-group
+        # permutation pre-folded on the output dim (LayerStack.__init__),
+        # so their dots land directly on the target lanes
+        top_row = conv_row(0, hr - 2)      # values at block row hr-2
+        bot_row = conv_row(1, 1)           # values at block row 1
+        left_col = conv_col(2, 0)          # band on lanes b∈{0,1}
+        right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
+        c_bl = conv_blk(4, hr - 2, 0)
+        c_br = conv_blk(5, hr - 2, wc - 1)
+        c_tl = conv_blk(6, 1, 0)
+        c_tr = conv_blk(7, 1, wc - 1)
+
+        mask_b01 = perm_ref[0][None, :]     # (1, C)
+        mask_b23 = perm_ref[1][None, :]
+
+        # ---- assembly: block-row concats + lane-group selects ----
+        # top/bottom block rows: band values everywhere, corner values
+        # overlaid on the outer lane groups of the edge block cols
+        top0 = c_bl + top_row[0:1] * mask_b23
+        topW = c_br + top_row[wc - 1:wc] * mask_b01
+        top_full = jnp.concatenate(
+            [top0, top_row[1:wc - 1], topW], axis=0)
+        bot0 = c_tl + bot_row[0:1] * mask_b23
+        botW = c_tr + bot_row[wc - 1:wc] * mask_b01
+        bot_full = jnp.concatenate(
+            [bot0, bot_row[1:wc - 1], botW], axis=0)
+
+        # interior block rows: edge block cols mix main-conv lanes with
+        # the lane-shifted column-band values
+        left_fix = (left_col[1:hr - 1]
+                    + y[1:hr - 1, 0] * mask_b23)
+        right_fix = (right_col[1:hr - 1]
+                     + y[1:hr - 1, wc - 1] * mask_b01)
+        ymid = jnp.concatenate(
+            [jnp.expand_dims(left_fix, 1), y[1:hr - 1, 1:wc - 1],
+             jnp.expand_dims(right_fix, 1)], axis=1)
+        y = jnp.concatenate(
+            [top_full[None], ymid, bot_full[None]], axis=0)
+
+    y = y + bias_ref[r][None, None, :]
+
+    # ---- GroupNorm over original channels (matmul statistics) ----
+    n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
+    s1 = jnp.sum(y, axis=(0, 1))[None]                 # (1, C)
+    s2 = jnp.sum(y * y, axis=(0, 1))[None]
+    # statistics dots run at full f32 precision: the 0/1 matrices are
+    # exact but casting the sums(-of-squares) to bf16 MXU inputs loses
+    # 8 mantissa bits exactly where GroupNorm amplifies them
+    hp = lax.Precision.HIGHEST
+    g1 = dot(s1, gmat_ref[:], hp)                      # (1, G)
+    g2 = dot(s2, gmat_ref[:], hp)
+    mean_g = g1 / n
+    var_g = g2 / n - mean_g * mean_g
+    inv_g = lax.rsqrt(var_g + 1e-5)
+    mean_c = dot(mean_g, gmat_t_ref[:], hp)            # (1, C)
+    inv_c = dot(inv_g, gmat_t_ref[:], hp)
+    y = (y - mean_c[0][None, None, :]) * inv_c[0][None, None, :]
+    # the affine (and implicitly the de-mean) is zeroed on padded
+    # channels, so they come out exactly 0 and GELU keeps them 0
+    y = y * gns_ref[r][None, None, :] + gnb_ref[r][None, None, :]
+    y = act(y)
+
+    src[1:hr + 1, 1:wc + 1, :] = y
+
+    @pl.when(r == R - 1)
+    def _store():
+        dma = pltpu.make_async_copy(src, out_hbm, sem)
+        dma.start()
+        dma.wait()
+
+
+class LayerStack:
+    """Compiled megakernel for a uniform stack of FluidLayers on the
+    fr=2 × fc=4 block layout.
+
+    layers: list of dicts with keys ``w`` (k,k,Ci,Co dense HWIO),
+    ``bias`` (Co,), ``gn_scale``/``gn_bias`` (Co,), and (learned) the 8
+    BLC band kernels named as in the Flax params. All layers must share
+    Ci == Co except a single-layer stack (the stem).
+
+    ``__call__`` takes and returns the (hr, wc, fr·fc·C) block-layout
+    activation (see ops/s2d.py space_to_depth_rect).
+    """
+
+    def __init__(self, layers: List[dict], H: int, W: int,
+                 k: int, act, learned: bool, dtype=jnp.float32,
+                 interpret: bool = False):
+        assert k == 5, "band width 2 requires k=5"
+        assert H % FR == 0 and W % FC == 0
+        R = len(layers)
+        ci = layers[0]["w"].shape[2]
+        co = layers[0]["w"].shape[3]
+        assert R == 1 or ci == co, "uniform stacks only (except stem)"
+        hr, wc = H // FR, W // FC
+        assert hr >= 3 and wc >= 3, "assembly needs >=3 block rows/cols"
+        fci, fco = FR * FC * ci, FR * FC * co
+        # Mosaic forbids lane-dim slices not aligned to the 128 tiling,
+        # so every channel axis is zero-padded to one common lane size C
+        # and all kernel accesses use the full lane dim. Padded channels
+        # stay exactly 0 (zero weights in, zeroed GN affine out).
+        C = max(fci, fco)
+        self.shape_in = (hr, wc, fci)
+        self.shape_out = (hr, wc, fco)
+        self._C = C
+        dtype = np.dtype(dtype)
+
+        def padded(a, shape):
+            out = np.zeros(shape, dtype)
+            out[tuple(slice(0, s) for s in a.shape)] = a
+            return out
+
+        wmain = np.stack([
+            padded(s2d_conv_weights_rect(l["w"], FR, FC), (3, 3, C, C))
+            for l in layers])
+        bias = np.stack([padded(np.tile(np.asarray(l["bias"]), FR * FC),
+                                (C,)) for l in layers])
+        gns = np.stack([padded(np.tile(np.asarray(l["gn_scale"]),
+                                       FR * FC), (C,)) for l in layers])
+        gnb = np.stack([padded(np.tile(np.asarray(l["gn_bias"]),
+                                       FR * FC), (C,)) for l in layers])
+        P23, P01, m01, m23 = _lane_shift_mats(co, C)
+        if learned:
+            # fold the output-lane permutation into the col-band and
+            # corner weights (band index ≥ 2): their dots then land
+            # directly on the target lane groups (kernel assembly)
+            _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
+            wband = np.stack([
+                np.stack([
+                    padded(s2d_conv_weights_rect(np.asarray(l[nm]),
+                                                 FR, FC), (3, 3, C, C))
+                    @ _fold.get(i, np.eye(C, dtype=np.float32))
+                    for i, nm in enumerate(_BAND_SOURCES)])
+                for l in layers])             # (R, 8, 3, 3, C, C)
+        else:
+            wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
+
+        groups = max(1, co // min(4, co))
+        gmat, gmat_t = _group_mats(co, groups, C)
+        # lane keep-masks: [b∈{0,1}, b∈{2,3}] (padded lanes are in
+        # neither mask — they stay whatever the main conv made them,
+        # exact zeros)
+        perm = np.stack([m01, m23])
+        kern = functools.partial(
+            _stack_kernel, R=R, hr=hr, wc=wc, co=co,
+            groups=groups, act=act, learned=learned, acc_dtype=dtype)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec((1,) + wmain.shape[1:],
+                             lambda r: (r, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + wband.shape[1:],
+                             lambda r: (r, 0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (R, C)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # gn scale
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # gn bias
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix.T
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # perms+masks
+                pl.BlockSpec(memory_space=pl.ANY),       # x (HBM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out (HBM)
+            scratch_shapes=[
+                pltpu.VMEM((hr + 2, wc + 2, C), dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        self._call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((hr + 2, wc + 2, C), dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+        self._hr, self._wc = hr, wc
+        # kept as NumPy: LayerStack may be built lazily inside a jit
+        # trace (fast_path defers the host-side weight transforms), and
+        # jnp constants created there would leak tracers across traces
+        self._consts = (wmain.astype(dtype), wband.astype(dtype),
+                        bias.astype(dtype), gns.astype(dtype),
+                        gnb.astype(dtype), gmat.astype(dtype),
+                        gmat_t.astype(dtype), perm.astype(dtype))
+
+    def __call__(self, x6):
+        """x6: (hr, wc, fr·fc·Ci) — batch-free block-layout activation."""
+        hr, wc = self._hr, self._wc
+        fci = self.shape_in[-1]
+        fco = self.shape_out[-1]
+        x6 = jnp.pad(x6, ((1, 1), (1, 1), (0, self._C - fci)))
+        y = self._call(*self._consts, x6)
+        return y[1:hr + 1, 1:wc + 1, :fco]

@@ -44,35 +44,62 @@ def depth_to_space(x, f: int, C: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _s2d_scatter_indices(K: int, f: int) -> Tuple:
+def _s2d_scatter_indices(K: int, fr: int, fc: int) -> Tuple:
     pad = (K - 1) // 2
-    half = (pad + f - 1) // f
-    Kp = 1 + 2 * half
+    half_r = (pad + fr - 1) // fr
+    half_c = (pad + fc - 1) // fc
     entries = []
-    for a in range(f):
-        for b in range(f):
+    for a in range(fr):
+        for b in range(fc):
             for dy in range(K):
                 for dx in range(K):
                     yy = a + dy - pad
                     xx = b + dx - pad
-                    p, aa = divmod(yy, f)
-                    q, bb = divmod(xx, f)
-                    entries.append((p + half, q + half, aa * f + bb,
-                                    a * f + b, dy, dx))
-    return Kp, tuple(entries)
+                    p, aa = divmod(yy, fr)
+                    q, bb = divmod(xx, fc)
+                    entries.append((p + half_r, q + half_c, aa * fc + bb,
+                                    a * fc + b, dy, dx))
+    return 1 + 2 * half_r, 1 + 2 * half_c, tuple(entries)
 
 
 def s2d_conv_weights(w, f: int):
     """Transform an HWIO kernel (K, K, Ci, Co) into the equivalent s2d
     kernel (Kp, Kp, f²·Ci, f²·Co) for a zero-padded SAME conv."""
+    return s2d_conv_weights_rect(w, f, f)
+
+
+def s2d_conv_weights_rect(w, fr: int, fc: int):
+    """Rectangular-block variant: (K, K, Ci, Co) HWIO → the equivalent
+    (Kp_r, Kp_c, fr·fc·Ci, fr·fc·Co) kernel on the fr×fc block layout
+    (lane size fr·fc·C — e.g. fr=2, fc=4 puts 8·C channels on lanes,
+    full 128-wide MXU at C=16 while keeping 2-dense-row bands on whole
+    block rows; see ops/branch_kernel.py)."""
     w = np.asarray(w)
     K, _, Ci, Co = w.shape
-    Kp, entries = _s2d_scatter_indices(K, f)
-    w2 = np.zeros((Kp, Kp, f * f * Ci, f * f * Co), dtype=w.dtype)
+    Kp_r, Kp_c, entries = _s2d_scatter_indices(K, fr, fc)
+    w2 = np.zeros((Kp_r, Kp_c, fr * fc * Ci, fr * fc * Co),
+                  dtype=w.dtype)
     for (P, Q, blk_in, blk_out, dy, dx) in entries:
         w2[P, Q, blk_in * Ci:(blk_in + 1) * Ci,
            blk_out * Co:(blk_out + 1) * Co] += w[dy, dx]
     return w2
+
+
+def space_to_depth_rect(x, fr: int, fc: int):
+    """(B, H, W, C) → (B, H/fr, W/fc, fr·fc·C)."""
+    B, H, W, C = x.shape
+    h, w = H // fr, W // fc
+    x = x.reshape(B, h, fr, w, fc, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h, w, fr * fc * C)
+
+
+def depth_to_space_rect(x, fr: int, fc: int, C: int):
+    """Inverse of :func:`space_to_depth_rect`."""
+    B, h, w, _ = x.shape
+    x = x.reshape(B, h, w, fr, fc, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h * fr, w * fc, C)
 
 
 def conv_s2d(x_s2d, w_s2d, preferred_element_type=None):

@@ -41,6 +41,7 @@ import numpy as np
 
 from ..constants import SimParams
 from ..ops.stencils import stamp_temperature_bc
+from ..utils.jit import tpu_jit
 from .grid import Grid
 from .stepper import TimeStepper
 
@@ -261,7 +262,7 @@ class SimEngine:
         """Run ``n_steps``; optionally capture full-field snapshots every
         ``snapshot_every`` steps (between jitted scan chunks, so device
         memory stays at one state). Returns (state, trace, snapshots)."""
-        jitted = jax.jit(self.multi_step, static_argnums=1)
+        jitted = tpu_jit(self.multi_step, static_argnums=1)
         if not snapshot_every:
             state, trace = jitted(state, n_steps)
             return state, trace, []

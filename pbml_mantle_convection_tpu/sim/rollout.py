@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.checkpoint import save_pickle
+from ..utils.jit import tpu_jit
 from .engine import SimEngine
 from .stepper import TimeStepper
 
@@ -60,7 +61,7 @@ def rollout_jax(
     keeps full scan throughput.
     """
     state = engine.init_state(T0)
-    jitted = jax.jit(engine.multi_step, static_argnums=1)
+    jitted = tpu_jit(engine.multi_step, static_argnums=1)
 
     TS_vec: list = []
     traces = []
@@ -168,10 +169,10 @@ def rollout_native(
             dt = stepper.unet_dt(u_prev, v_prev)
             T_new, u, v, p, V = stepper.step_unet(T, u_prev, v_prev, dt)
             return T_new, dt, u, v, p, V
-        unet_step = jax.jit(_unet)
+        unet_step = tpu_jit(_unet)
     elif stepper is not None:
         # jitted: T (1,H,W) -> (T_new, dt, u, v, p, V)
-        ml_step = jax.jit(lambda T: stepper.step(T))
+        ml_step = tpu_jit(lambda T: stepper.step(T))
 
     save_t = 0.0
     write_t = 0.0

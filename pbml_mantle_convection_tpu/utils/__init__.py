@@ -4,3 +4,4 @@ from .evaluation import (  # noqa: F401
     compare_rollouts, field_mae, inference_latency, model_error_sweep,
     pearson, speedup_table, temperature_rmse)
 from .profiling import StepTimer, trace  # noqa: F401
+from .jit import TPU_COMPILER_OPTIONS, tpu_jit  # noqa: F401

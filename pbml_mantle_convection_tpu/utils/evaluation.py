@@ -45,7 +45,8 @@ def model_error_sweep(apply_fn: Callable, dataset, batch_size: int = 8,
 def inference_latency(apply_fn: Callable, x, iters: int = 500) -> float:
     """Mean forward latency over ``iters`` passes (the reference's
     500-pass harness, load_fluidnet.ipynb cell 7). Returns seconds."""
-    fwd = jax.jit(apply_fn)
+    from .jit import tpu_jit
+    fwd = tpu_jit(apply_fn)
     out = fwd(x)
     jax.block_until_ready(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()

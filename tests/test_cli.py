@@ -39,6 +39,7 @@ def test_rollout_cli_jax(tmp_path):
     assert len(T_vec) == 6 and np.isfinite(T_vec).all()
 
 
+@pytest.mark.slow
 def test_rollout_cli_native(tmp_path):
     pytest.importorskip("ctypes")
     from pbml_mantle_convection_tpu.cli.rollout import main
@@ -53,6 +54,7 @@ def test_rollout_cli_native(tmp_path):
     assert n_step == 4 and t > 0
 
 
+@pytest.mark.slow
 def test_benchmark_cli_inference(capsys):
     from pbml_mantle_convection_tpu.cli.benchmark import main
     ms = main(["--what", "inference", "-net", "newfluidnet", "-l", "2",

@@ -1,6 +1,7 @@
 """SimEngine rollout tests with a synthetic divergence-free surrogate."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +105,7 @@ def test_radioactive_decay_reduces_heating_rate():
     assert float(t2.mean_T[-1]) < float(t1.mean_T[-1])
 
 
+@pytest.mark.slow
 def test_unet_engine_rollout():
     """Coupled U-Net rollout (the reference's attempt_unet,
     advect_wi_gaia.py:681-833) as a lax.scan."""

@@ -117,6 +117,7 @@ def test_one_epoch_functional():
     assert np.isfinite(tr[0]) and np.isfinite(cv[0])
 
 
+@pytest.mark.slow
 def test_native_unet_rollout():
     """attempt_unet against the native engine (advect_wi_gaia.py:681-833)."""
     import jax

@@ -61,11 +61,32 @@ class TestFastNewFluidNet:
     def test_learned_divisible_grid(self):
         _check_model("learned", 32, 64)
 
+    @pytest.mark.parametrize("r_p", ["learned", "zeros"])
+    def test_megakernel_full_model(self, r_p):
+        """B=1 on a fully divisible grid routes through the whole-branch
+        Pallas megakernel (ops/branch_kernel.py); must equal the module."""
+        model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                            r_p=r_p, loss_type="curl", repeats=2, f=5,
+                            p_pred=False)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 16, 32, 7)))
+        params = model.init(jax.random.PRNGKey(0), x)
+        u0, v0, _ = model.apply(params, x)
+        fast = FastNewFluidNet(model, params, 16, 32, f=4,
+                               megakernel=True)
+        assert fast.use_megakernel
+        u1, v1, _ = fast(x)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-8, atol=1e-10)
+
     @pytest.mark.slow
     def test_learned_reference_grid_shape(self):
         # 506 is not divisible by 4 → exercises padding + masked GN
         _check_model("learned", 32, 54)
 
+    @pytest.mark.slow
     def test_zeros_padding(self):
         _check_model("zeros", 32, 64)
 
@@ -73,6 +94,7 @@ class TestFastNewFluidNet:
     def test_zeros_nondivisible(self):
         _check_model("zeros", 36, 54)
 
+    @pytest.mark.slow
     def test_with_pressure(self):
         _check_model("learned", 32, 64, p_pred=True)
 

@@ -47,6 +47,7 @@ def test_impermeable_walls(solved):
     assert np.isfinite(u).all() and np.isfinite(v).all()
 
 
+@pytest.mark.slow
 def test_variable_viscosity_slows_flow():
     ny = nx = 24
     y = (np.arange(ny) + 0.5) / ny

@@ -58,7 +58,8 @@ def _run_pair(torch, ref_model, our_model, our_params, x_np,
     return tout, jout
 
 
-@pytest.mark.parametrize("r_p", ["replicate", "learned"])
+@pytest.mark.parametrize("r_p", [
+    pytest.param("replicate", marks=pytest.mark.slow), "learned"])
 @pytest.mark.parametrize("use_symm", [False, True])
 def test_newfluidnet_forward_parity(torch_mods, r_p, use_symm):
     torch, ref = torch_mods

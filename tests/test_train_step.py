@@ -121,6 +121,7 @@ def test_train_step_dp_mesh_matches_single_device():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_roll_forward_train_step():
     rng = np.random.default_rng(5)
     model = Unet(levels=2, c_i=10, c_h=8, c_o=2, loss_type="curl",
@@ -147,6 +148,7 @@ def test_eval_step():
     assert np.isfinite(float(br.total))
 
 
+@pytest.mark.slow
 def test_transolver_train_step():
     from pbml_mantle_convection_tpu.data import (
         UnstructuredDataset, synthetic_store)
@@ -168,6 +170,7 @@ def test_transolver_train_step():
     assert np.isfinite(float(br.total))
 
 
+@pytest.mark.slow
 def test_convae_train_step():
     from pbml_mantle_convection_tpu.data import (
         ConvAEDataset, synthetic_store)

@@ -65,6 +65,7 @@ def test_trainer_restart(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases(tmp_path):
     train, cv, init = _datasets()
     cfg = _cfg()

@@ -33,6 +33,7 @@ def test_physics_attention_slice_weights_partition():
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
 def test_transolver_structured_curl_divergence():
     H, W = 16, 24
     m = TransolverStructured2D(H=H, W=W, fun_dim=5, n_layers=2,
@@ -74,8 +75,9 @@ class TestRegistry:
 
     @pytest.mark.parametrize("net", [
         pytest.param("newfluidnet", marks=pytest.mark.slow), "fluidnet",
-        "unet", pytest.param("convae", marks=pytest.mark.slow),
-        "multiscalenewfluidnet", "transolver_structured",
+        pytest.param("unet", marks=pytest.mark.slow),
+        pytest.param("convae", marks=pytest.mark.slow),
+        "multiscalenewfluidnet", "transolver_structured",  # fluidnet kept in the default run as the family smoke test
         pytest.param("vit", marks=pytest.mark.slow)])
     def test_build_all(self, net):
         cfg = ModelConfig(network=net, levels=2, c_h=8, repeats=1,

@@ -42,7 +42,8 @@ def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace"):
                     dtype=jnp.float32)
     T0 = jnp.clip(1.0 - grid.yc, 0, 1).astype(jnp.float32)[None]
     s0 = eng.init_state(T0)
-    multi = jax.jit(eng.multi_step, static_argnums=1)
+    from pbml_mantle_convection_tpu.utils.jit import tpu_jit
+    multi = tpu_jit(eng.multi_step, static_argnums=1)
 
     s2, _ = multi(s0, steps)
     jax.block_until_ready(s2.T)
