@@ -217,7 +217,7 @@ class FastNewFluidNet:
             return True
 
         self.use_megakernel = bool(
-            megakernel and k == 5 and not conv_bf16
+            megakernel and k == 5 and not conv_bf16 and f == 4
             and model.factor == 2 and getattr(model, "bc_x", 1) == 1
             and getattr(model, "bc_y", 1) == 1 and _mk_grids_ok())
         if self.use_megakernel:
@@ -245,6 +245,23 @@ class FastNewFluidNet:
                 for l in range(model.levels)]
             self.mk_stem = None
             self.mk_branches = None
+
+            # f4p merge-1 weights: the block-layout trunk assembly
+            # (_finish_f4p) produces piece-major lanes (p, a4, b, cp);
+            # fold the inverse permutation to the standard s2d order
+            # (a4, b, (p, cp)) into the conv's input dim host-side
+            c_ps = [model.c_h] * model.levels + [model.c_i]
+            c_cat = sum(c_ps)
+            offs = np.cumsum([0] + c_ps)
+            idx = np.empty(f * f * c_cat, np.int64)
+            o = 0
+            for pi, cp in enumerate(c_ps):
+                for blk in range(f * f):
+                    for cc in range(cp):
+                        idx[o] = blk * c_cat + offs[pi] + cc
+                        o += 1
+            w1 = (self.merge1["w_s2d"] if learned else self.merge1[0])
+            self._merge1_w_f4p = jnp.asarray(np.asarray(w1)[:, :, idx, :])
 
     def _build_megakernel(self):
         from ..ops.branch_kernel import LayerStack
@@ -295,9 +312,18 @@ class FastNewFluidNet:
         (pytorch_networks_convae.py:1022-1060 semantics, incl. the
         row-flip quirk: output rows 0..1 come from the LAST input rows)."""
         pad = k + 1 if k == 5 else k
+        slabs = self._dense_slabs(x6, C, pad, H, W)
+        return self._bands_from_slabs(slabs, c_o, k, w_corners, w_tb,
+                                      w_lr)
+
+    def _bands_from_slabs(self, slabs, c_o, k, w_corners, w_tb, w_lr):
+        """Band convolutions given precomputed dense edge slabs
+        (top, bottom, left, right) of width pad — callers with
+        non-dense trunk layouts (the f4p merge assembly) extract slabs
+        from their pieces directly."""
+        pad = k + 1 if k == 5 else k
         band = pad - (k - 1)
-        top_in, bot_in, left_in, right_in = self._dense_slabs(
-            x6, C, pad, H, W)
+        top_in, bot_in, left_in, right_in = slabs
 
         # top+bottom grouped conv: output band rows; group 0 = dense rows
         # 0..band-1 (from bot_in), group 1 = last rows (from top_in)
@@ -475,8 +501,9 @@ class FastNewFluidNet:
         count0 = float(H * W)
 
         if self.use_megakernel and B == 1 and mask0 is None:
-            branches_dense = self._megakernel_branches(x, H, W)
-            return self._finish(branches_dense, x, H, W, mask0, count0)
+            b0_rect, resized, x6r = self._megakernel_branches(x, H, W)
+            return self._finish_f4p(b0_rect, resized, x, x6r, H, W,
+                                    count0)
 
         x6 = space_to_depth(xp, f)
 
@@ -509,27 +536,103 @@ class FastNewFluidNet:
 
     def _megakernel_branches(self, x, H, W):
         """Stem + branch stacks as whole-branch Pallas kernels
-        (ops/branch_kernel.py); pooling/resizing stay dense XLA ops."""
+        (ops/branch_kernel.py).
+
+        The whole level chain stays in block layout: the factor-2 pool
+        is 4 parity slices × lane matmuls (ops/s2d.avg_pool_rect), so
+        the only dense round-trips are the coarse branches feeding
+        bicubic resize. Returns (branch-0 rect output, resized dense
+        branches l≥1, rect input) for the f4p merge assembly."""
         m = self.m
+        from ..ops.s2d import (
+            avg_pool_rect, depth_to_space_rect, space_to_depth_rect)
         from ..ops.branch_kernel import FR, FC
-        from ..ops.s2d import space_to_depth_rect, depth_to_space_rect
         if self.mk_stem is None:
             self._build_megakernel()
-        x6 = space_to_depth_rect(x, FR, FC)[0]
-        stem6 = self.mk_stem(x6)
-        branch_in = depth_to_space_rect(stem6[None], FR, FC, m.c_h)
+        x6r = space_to_depth_rect(x, FR, FC)
+        branch_in6 = self.mk_stem(x6r[0])[None]
 
-        branches_dense = []
+        b0_rect = None
+        resized = []
         for l in range(m.levels):
             if l > 0:
-                branch_in = avg_pool_nhwc(branch_in, m.factor)
-            y6 = self.mk_branches[l](
-                space_to_depth_rect(branch_in, FR, FC)[0])
-            yd = depth_to_space_rect(y6[None], FR, FC, m.c_h)
-            if l > 0:
-                yd = resize_bicubic_nhwc(yd, (H, W))
-            branches_dense.append(yd)
-        return branches_dense
+                branch_in6 = avg_pool_rect(branch_in6, m.c_h)
+            y6 = self.mk_branches[l](branch_in6[0])[None]
+            if l == 0:
+                b0_rect = y6
+            else:
+                yd = depth_to_space_rect(y6, FR, FC, m.c_h)
+                resized.append(resize_bicubic_nhwc(yd, (H, W)))
+        return b0_rect, resized, x6r
+
+    def _finish_f4p(self, b0_rect, resized, x, x6r, H, W, count0):
+        """Merge stage fed straight from block layout.
+
+        rect(2,4) → square(4,4) space-to-depth is a pure lane regroup:
+        ``concat([xr[0::2], xr[1::2]], lanes)`` — so the merge trunk
+        input is assembled with strided slices + ONE lane concat instead
+        of a 23 MB dense concat + full s2d relayout. The resulting lane
+        order is piece-major ("f4p"); the merge-1 conv weights carry the
+        inverse permutation on their input dim (host-side, free), and
+        the merge-1 boundary bands take their dense edge slabs from the
+        pieces directly. merge-1's output is standard f=4 s2d, so
+        everything downstream (GN0, merges 2/3, head) is shared."""
+        m = self.m
+        f = self.f
+
+        def rect_to_f4(xr):
+            return jnp.concatenate([xr[:, 0::2], xr[:, 1::2]], axis=-1)
+
+        pieces = ([rect_to_f4(b0_rect)]
+                  + [space_to_depth(r, f) for r in resized]
+                  + [rect_to_f4(x6r)])
+        y6p = jnp.concatenate(pieces, axis=-1)
+
+        if isinstance(self.merge1, dict):
+            spec = self.merge1
+            y6 = conv_s2d(y6p, self._merge1_w_f4p)
+            slabs = self._piece_slabs(b0_rect, resized, x, spec["k"],
+                                      H, W)
+            bands = self._bands_from_slabs(
+                slabs, spec["c_o"], spec["k"], spec["w_corners"],
+                spec["w_tb"], spec["w_lr"])
+            y6 = self._overwrite_bands(y6, bands, spec["c_o"], H, W)
+            y6 = y6 + jnp.tile(spec["bias"][0, 0, 0], f * f)
+        else:
+            _, b1, c1 = self.merge1
+            y6 = conv_s2d(y6p, self._merge1_w_f4p) + jnp.tile(b1, f * f)
+        y6, c_o = self._merge_tail(y6, None, count0, H, W)
+        return self._head(y6, c_o, H, W)
+
+    def _piece_slabs(self, b0_rect, resized, x, k, H, W):
+        """Dense edge slabs (top, bottom, left, right; width pad) of the
+        channel-concatenated merge input, assembled per piece — the
+        branch-0/x pieces live in rect block layout and only their edge
+        blocks are densified."""
+        from ..ops.s2d import depth_to_space_rect
+        from ..ops.branch_kernel import FR, FC
+        pad = k + 1 if k == 5 else k
+        nbr = -(-pad // FR)
+        nbc = -(-pad // FC)
+
+        def rect_slabs(xr, c):
+            top = depth_to_space_rect(xr[:, :nbr], FR, FC, c)[:, :pad]
+            bot = depth_to_space_rect(xr[:, -nbr:], FR, FC, c)[:, -pad:]
+            left = depth_to_space_rect(xr[:, :, :nbc], FR, FC,
+                                       c)[:, :, :pad]
+            rgt = depth_to_space_rect(xr[:, :, -nbc:], FR, FC,
+                                      c)[:, :, -pad:]
+            return top, bot, left, rgt
+
+        def dense_slabs(xd):
+            return (xd[:, :pad], xd[:, H - pad:],
+                    xd[:, :, :pad], xd[:, :, W - pad:])
+
+        per_piece = ([rect_slabs(b0_rect, self.m.c_h)]
+                     + [dense_slabs(r) for r in resized]
+                     + [dense_slabs(x)])
+        return tuple(jnp.concatenate(s, axis=-1)
+                     for s in zip(*per_piece))
 
     def _finish(self, branches_dense, x, H, W, mask0, count0):
         m = self.m
@@ -541,11 +644,25 @@ class FastNewFluidNet:
 
         if isinstance(self.merge1, dict):
             y6 = self._blc_merge(y6, c_cat, self.merge1, mask0, H, W)
-            y6 = group_norm_s2d(y6, f, m.c_h,
-                                max(1, m.c_h // 4), self.gn0_scale,
-                                self.gn0_bias, valid_count=count0,
-                                mask=mask0)
-            y6 = self.act(y6)
+        else:
+            w1, b1, c1 = self.merge1
+            y6 = conv_s2d(y6, w1) + jnp.tile(b1, f * f)
+            if mask0 is not None:
+                y6 = y6 * jnp.repeat(mask0, c1, axis=-1)[None]
+        y6, c_o = self._merge_tail(y6, mask0, count0, H, W)
+        return self._head(y6, c_o, H, W)
+
+    def _merge_tail(self, y6, mask0, count0, H, W):
+        """GN0 + activation + merge convs 2/3, after merge-1 has been
+        applied (with its boundary bands in the learned case)."""
+        m = self.m
+        f = self.f
+        y6 = group_norm_s2d(y6, f, m.c_h,
+                            max(1, m.c_h // 4), self.gn0_scale,
+                            self.gn0_bias, valid_count=count0,
+                            mask=mask0)
+        y6 = self.act(y6)
+        if isinstance(self.merge2, dict):
             if mask0 is not None:
                 y6 = y6 * jnp.repeat(mask0, m.c_h, axis=-1)[None]
             y6 = self._blc_merge(y6, m.c_h, self.merge2, mask0, H, W)
@@ -555,14 +672,6 @@ class FastNewFluidNet:
             y6 = self._blc_merge(y6, m.c_h, self.merge3, mask0, H, W)
             c_o = self.merge3["c_o"]
         else:
-            w1, b1, c1 = self.merge1
-            y6 = conv_s2d(y6, w1) + jnp.tile(b1, f * f)
-            if mask0 is not None:
-                y6 = y6 * jnp.repeat(mask0, c1, axis=-1)[None]
-            y6 = group_norm_s2d(y6, f, m.c_h, max(1, m.c_h // 4),
-                                self.gn0_scale, self.gn0_bias,
-                                valid_count=count0, mask=mask0)
-            y6 = self.act(y6)
             w2, b2, c2 = self.merge2
             y6 = conv_s2d(y6, w2) + jnp.tile(b2, f * f)
             if mask0 is not None:
@@ -570,7 +679,11 @@ class FastNewFluidNet:
             y6 = self.act(y6)
             w3, b3, c_o = self.merge3
             y6 = conv_s2d(y6, w3) + jnp.tile(b3, f * f)
+        return y6, c_o
 
+    def _head(self, y6, c_o, H, W):
+        m = self.m
+        f = self.f
         y = depth_to_space(y6, f, c_o)[:, :H, :W, :]
         y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
 

@@ -102,6 +102,47 @@ def depth_to_space_rect(x, fr: int, fc: int, C: int):
     return x.reshape(B, h * fr, w * fc, C)
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_lane_mats(c: int, fr: int = 2, fc: int = 4):
+    """Lane-mixing matrices for :func:`avg_pool_rect`: the factor-2 mean
+    pool in fr=2 × fc=4 block layout is 4 block-parity slices times 0/1/4
+    matmuls (no relayouts). M[(i, j)][src=(r,b,cc), dst=(a',b',cc)] = 1/4
+    when a'==i, b'//2==j, b == 2*(b'%2)+s."""
+    L = fr * fc * c
+    mats = {}
+    for i in (0, 1):
+        for j in (0, 1):
+            M = np.zeros((L, L), np.float32)
+            for bp in range(fc):
+                if bp // 2 != j:
+                    continue
+                for r in range(fr):
+                    for s in range(fr):
+                        b = 2 * (bp % 2) + s
+                        for cc in range(c):
+                            src = (r * fc + b) * c + cc
+                            dst = (i * fc + bp) * c + cc
+                            M[src, dst] += 0.25
+            mats[(i, j)] = M
+    return mats
+
+
+def avg_pool_rect(x6, c: int):
+    """Fused factor-2 average pool in fr=2 × fc=4 block layout — equal to
+    ``space_to_depth_rect(avg_pool(depth_to_space_rect(x6)), 2, 4)`` but
+    with no layout round-trip: 4 parity slices × lane matmuls.
+    x6: (B, hr, wc, 8c) → (B, hr/2, wc/2, 8c)."""
+    mats = _pool_lane_mats(c)
+    out = None
+    for i in (0, 1):
+        for j in (0, 1):
+            s = x6[:, i::2, j::2, :]
+            t = jnp.einsum("bhwk,kl->bhwl", s,
+                           jnp.asarray(mats[(i, j)], x6.dtype))
+            out = t if out is None else out + t
+    return out
+
+
 def conv_s2d(x_s2d, w_s2d, preferred_element_type=None):
     """SAME (zero-pad) conv in s2d space — equals the dense zero-pad SAME
     conv everywhere except possibly the outer (f·halo − pad) dense ring,

@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from pbml_mantle_convection_tpu.models import NewFluidNet
 from pbml_mantle_convection_tpu.models.fast_path import FastNewFluidNet
 from pbml_mantle_convection_tpu.ops.s2d import (
-    conv_s2d, depth_to_space, s2d_conv_weights, space_to_depth)
+    avg_pool_rect, conv_s2d, depth_to_space, depth_to_space_rect,
+    s2d_conv_weights, space_to_depth, space_to_depth_rect)
 
 
 class TestS2DConv:
@@ -33,6 +34,41 @@ class TestS2DConv:
         fast = depth_to_space(
             conv_s2d(space_to_depth(x, f),
                      jnp.asarray(s2d_conv_weights(w, f))), f, Co)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                                   rtol=1e-10, atol=1e-12)
+
+
+class TestRectOps:
+    def test_avg_pool_rect_equivalence(self):
+        from pbml_mantle_convection_tpu.ops.resize import avg_pool_nhwc
+        rng = np.random.default_rng(3)
+        c = 5
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, c)))
+        x6 = space_to_depth_rect(x, 2, 4)
+        ref = space_to_depth_rect(avg_pool_nhwc(x, 2), 2, 4)
+        out = avg_pool_rect(x6, c)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_rect_s2d_roundtrip_and_conv(self):
+        from jax import lax
+        from pbml_mantle_convection_tpu.ops.s2d import (
+            s2d_conv_weights_rect)
+        rng = np.random.default_rng(4)
+        Ci, Co = 3, 4
+        x = jnp.asarray(rng.normal(size=(1, 16, 24, Ci)))
+        y = depth_to_space_rect(space_to_depth_rect(x, 2, 4), 2, 4, Ci)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        w = rng.normal(size=(5, 5, Ci, Co))
+        dense = lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x6 = space_to_depth_rect(x, 2, 4)
+        w6 = jnp.asarray(s2d_conv_weights_rect(w, 2, 4))
+        fast6 = lax.conv_general_dilated(
+            x6, w6, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fast = depth_to_space_rect(fast6, 2, 4, Co)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
                                    rtol=1e-10, atol=1e-12)
 
