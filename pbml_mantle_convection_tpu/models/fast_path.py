@@ -136,7 +136,8 @@ class FastNewFluidNet:
 
     def __init__(self, model, params, H: int, W: int, f: int = 4,
                  dtype=None, conv_bf16: bool = False,
-                 approx_gelu: bool = False, megakernel=None):
+                 approx_gelu: bool = False, megakernel=None,
+                 exact_gelu: bool = False):
         """``conv_bf16``/``approx_gelu`` enable the fast-inexact mode:
         convolution inputs/weights in bfloat16 (f32 accumulation) and
         tanh-approximate GELU. Deviates from the reference's float64
@@ -156,6 +157,7 @@ class FastNewFluidNet:
         self.H, self.W = H, W
         self.conv_bf16 = conv_bf16
         self.approx_gelu = approx_gelu
+        self.exact_gelu = exact_gelu
         p = params["params"] if "params" in params else params
         dtype = dtype or np.asarray(
             jax.tree.leaves(p)[0]).dtype
@@ -239,6 +241,7 @@ class FastNewFluidNet:
 
             # stacks are built lazily on the first B=1 call (host-side
             # weight transforms are skipped when the fallback path runs)
+            self._mk_params = p
             self._mk_raw_stem = [raw(p["conv_0"])]
             self._mk_raw_branches = [
                 [raw(p[f"convs_{l}_{r}"]) for r in range(model.repeats)]
@@ -272,19 +275,81 @@ class FastNewFluidNet:
         interp = jax.default_backend() != "tpu"   # Mosaic needs TPU
         act = self.act
         if not interp and m.act_fn == "gelu" and not self.approx_gelu:
-            # Mosaic has no erf primitive; use XLA's own f32 erf
-            # polynomial in-kernel (numerically the same function)
-            from ..ops.branch_kernel import gelu_erf_kernel
-            act = gelu_erf_kernel
+            # Mosaic has no erf primitive. Default: the divide-free
+            # bf16-grade fit (|err| 1.5e-4 — an order below the MXU's
+            # default-precision conv noise, ~2x fewer VPU ops);
+            # exact_gelu=True restores XLA's own f32 erf polynomial.
+            from ..ops.branch_kernel import (
+                gelu_erf_kernel, gelu_fast_kernel)
+            act = (gelu_erf_kernel if self.exact_gelu
+                   else gelu_fast_kernel)
         self.mk_stem = LayerStack(
             self._mk_raw_stem, H, W, k, act=act,
             learned=learned, dtype=self.dtype, interpret=interp)
         self.mk_branches = []
         for l in range(m.levels):
             Hl, Wl = H // (2 ** l), W // (2 ** l)
+            # each branch kernel also emits the factor-2 pool of its
+            # input — the next level's input — computed in VMEM
             self.mk_branches.append(LayerStack(
                 self._mk_raw_branches[l], Hl, Wl, k, act=act,
-                learned=learned, dtype=self.dtype, interpret=interp))
+                learned=learned, dtype=self.dtype, interpret=interp,
+                pool=l < m.levels - 1))
+
+        if not learned:
+            self.mkm1 = None
+            return
+        # ---- merge stage as three kernels (learned path) ----
+        # the trunk is fed as lane-range pieces (VMEM lane concat);
+        # the merge-1 conv carries the piece-major→standard input-lane
+        # permutation; GN0+GELU ride merge-1's tail; merges 2/3 are
+        # act-only / plain (use_gn/use_act flags)
+        p = (self._mk_params)
+        dtype = self.dtype
+
+        def raw_merge(tree, gn_tree=None):
+            d = {"w": np.asarray(tree["conv"]["kernel"], dtype),
+                 "bias": np.asarray(tree["learnable_bias"],
+                                    dtype)[0, 0, 0]}
+            for nm in _BLC_ORDER:
+                d[nm] = np.asarray(tree[nm]["kernel"], dtype)
+            co = d["w"].shape[-1]
+            if gn_tree is not None:
+                d["gn_scale"] = np.asarray(gn_tree["scale"], dtype)
+                d["gn_bias"] = np.asarray(gn_tree["bias"], dtype)
+            else:
+                d["gn_scale"] = np.ones(co, dtype)
+                d["gn_bias"] = np.zeros(co, dtype)
+            return d
+
+        c_ps = [m.c_h] * m.levels + [m.c_i]
+        slot = [-(-8 * c // 128) * 128 for c in c_ps]
+        c_cat = sum(c_ps)
+        offs = np.cumsum([0] + c_ps)
+        in_perm = np.full(sum(slot), -1, np.int64)
+        O = 0
+        for p_i, cp in enumerate(c_ps):
+            for q in range(8 * cp):
+                blk, cc = divmod(q, cp)
+                in_perm[O + q] = blk * c_cat + offs[p_i] + cc
+            O += slot[p_i]
+        self._mk_slot = slot
+        # NOTE: the trunk scratch must stay f32 — Mosaic tiles bf16
+        # memrefs (8,128) on the second-minor dim, which forbids the
+        # offset-1 halo slicing the kernels rely on (f32 tiles (1,128))
+        in_dt = None
+        self.mkm1 = LayerStack(
+            [raw_merge(p["conv_1"], p["gn_0"]["GroupNorm_0"])],
+            H, W, k, act=act, learned=True, dtype=self.dtype,
+            interpret=interp, split=slot, in_perm=in_perm,
+            groups=max(1, m.c_h // 4), in_dtype=in_dt)
+        self.mkm2 = LayerStack(
+            [raw_merge(p["conv_2"])], H, W, k, act=act, learned=True,
+            dtype=self.dtype, interpret=interp, use_gn=False)
+        self.mkm3 = LayerStack(
+            [raw_merge(p["conv_3"])], H, W, k, act=act, learned=True,
+            dtype=self.dtype, interpret=interp, use_gn=False,
+            use_act=False)
 
     # ------------------------------------------------------------------
     # band fix-up machinery
@@ -501,7 +566,12 @@ class FastNewFluidNet:
         count0 = float(H * W)
 
         if self.use_megakernel and B == 1 and mask0 is None:
-            b0_rect, resized, x6r = self._megakernel_branches(x, H, W)
+            b0_raw, resized, x6r = self._megakernel_branches(x, H, W)
+            if isinstance(self.merge1, dict):
+                return self._finish_mergek(b0_raw, resized, x6r, H, W)
+            st0 = self.mk_branches[0]
+            b0_rect = b0_raw[1:st0._hr + 1, 1:st0._wc + 1,
+                             :st0.shape_out[-1]][None]
             return self._finish_f4p(b0_rect, resized, x, x6r, H, W,
                                     count0)
 
@@ -544,26 +614,40 @@ class FastNewFluidNet:
         bicubic resize. Returns (branch-0 rect output, resized dense
         branches l≥1, rect input) for the f4p merge assembly."""
         m = self.m
-        from ..ops.s2d import (
-            avg_pool_rect, depth_to_space_rect, space_to_depth_rect)
+        from ..ops.s2d import depth_to_space_rect, space_to_depth_rect
         from ..ops.branch_kernel import FR, FC
         if self.mk_stem is None:
             self._build_megakernel()
         x6r = space_to_depth_rect(x, FR, FC)
-        branch_in6 = self.mk_stem(x6r[0])[None]
+        # raw haloed chaining: each kernel's output keeps its zero halo,
+        # and the factor-2 pool of the next level's input is the branch
+        # kernel's in-kernel second output — no XLA pad/slice/pool ops
+        # between levels
+        b_in_h = self.mk_stem.call_raw(self.mk_stem.prep(x6r[0]))
+        if self.mk_stem._C != self.mk_branches[0]._C:
+            # stem lane padding differs (c_i > c_h): re-prep once
+            hr0, wc0 = self.mk_stem._hr, self.mk_stem._wc
+            b_in_h = self.mk_branches[0].prep(
+                b_in_h[1:hr0 + 1, 1:wc0 + 1, :8 * m.c_h])
 
         b0_rect = None
         resized = []
         for l in range(m.levels):
-            if l > 0:
-                branch_in6 = avg_pool_rect(branch_in6, m.c_h)
-            y6 = self.mk_branches[l](branch_in6[0])[None]
-            if l == 0:
-                b0_rect = y6
+            stack = self.mk_branches[l]
+            out = stack.call_raw(b_in_h)
+            if stack.pool:
+                y_h, b_in_h = out
             else:
+                y_h = out
+            hr, wc = stack._hr, stack._wc
+            if l == 0:
+                b0_raw = y_h          # keep the raw halo for the merge
+            else:
+                y6 = y_h[1:hr + 1, 1:wc + 1,
+                         :stack.shape_out[-1]][None]
                 yd = depth_to_space_rect(y6, FR, FC, m.c_h)
                 resized.append(resize_bicubic_nhwc(yd, (H, W)))
-        return b0_rect, resized, x6r
+        return b0_raw, resized, x6r
 
     def _finish_f4p(self, b0_rect, resized, x, x6r, H, W, count0):
         """Merge stage fed straight from block layout.
@@ -603,6 +687,51 @@ class FastNewFluidNet:
             y6 = conv_s2d(y6p, self._merge1_w_f4p) + jnp.tile(b1, f * f)
         y6, c_o = self._merge_tail(y6, None, count0, H, W)
         return self._head(y6, c_o, H, W)
+
+    def _finish_mergek(self, b0_raw, resized, x6r, H, W):
+        """Merge stage as three Pallas kernels (learned path).
+
+        Pieces stay in rect block layout: each is DMA'd into its lane
+        slot of the merge-1 kernel's trunk scratch (VMEM lane concat);
+        merge-1 runs conv+bands+bias+GN0+GELU, merges 2/3 chain on its
+        raw haloed output (act-only / plain). On TPU the pieces are cast
+        to bf16 — identical to the default MXU precision the conv would
+        apply, at half the trunk DMA/VMEM."""
+        m = self.m
+        from ..ops.branch_kernel import FR, FC
+        from ..ops.s2d import depth_to_space_rect, space_to_depth_rect
+        # pieces are pre-haloed (the kernel can only lane-slice its
+        # wide trunk scratch): branch-0 keeps its raw halo, the rest
+        # get a zero halo + lane pad to their 128-aligned slot
+        pieces = [b0_raw]
+        pieces += [space_to_depth_rect(r, FR, FC)[0] for r in resized]
+        pieces.append(x6r[0])
+        wcp = self.mkm1._wcp
+        padded = []
+        for i, (pc, s) in enumerate(zip(pieces, self._mk_slot)):
+            h0 = 0 if i == 0 else 1
+            wpad = wcp - pc.shape[1] - h0
+            padded.append(jnp.pad(
+                pc, ((h0, h0), (h0, wpad), (0, s - pc.shape[-1]))))
+        y1 = self.mkm1.call_split(*padded)
+        y2 = self.mkm2.call_raw(y1)
+        y3 = self.mkm3.call_raw(y2)
+        hr, wc = self.mkm3._hr, self.mkm3._wc
+        c_o = self.merge3["c_o"]
+        psi6 = y3[1:hr + 1, 1:wc + 1, :FR * FC * c_o][None]
+        y = depth_to_space_rect(psi6, FR, FC, c_o)[:, :H, :W, :]
+        y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
+        if m.loss_type in ("mae", "mass"):
+            u = y[..., 0]
+            v = y[..., 1]
+            p = y[..., 2] if m.p_pred else None
+            return u, v, p
+        a = y[..., 0] * m.a_bound
+        if m.blurr:
+            a = blur3x3(a)
+        p = y[..., 1] if m.p_pred else None
+        u, v = curl_head_padded(a)
+        return u, v, p
 
     def _piece_slabs(self, b0_rect, resized, x, k, H, W):
         """Dense edge slabs (top, bottom, left, right; width pad) of the

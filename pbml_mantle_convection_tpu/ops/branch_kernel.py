@@ -95,6 +95,28 @@ def gelu_erf_kernel(x):
     return 0.5 * x * (1.0 + erf_poly(x * inv_sqrt2))
 
 
+# divide-free odd minimax fit of erf(t), t∈[-3,3] clamped:
+# max |GELU err| 1.5e-4 — an order below the bf16 MXU noise the conv
+# path already carries at default precision. ~2× fewer VPU ops than the
+# rational erf (no divide): the activation is a large share of in-kernel
+# per-layer time.
+_ERF_FAST = (-2.8470148000345211e-07, 1.303095779974869e-05,
+             -0.00025807533560547047, 0.0029239602372714453,
+             -0.021205922880053844, 0.1048617796705997,
+             -0.37079225296696805, 1.1272902978054831)
+
+
+def gelu_fast_kernel(x):
+    """bf16-grade GELU for Mosaic kernels (see _ERF_FAST note)."""
+    inv_sqrt2 = 0.7071067811865476
+    t = jnp.clip(x * inv_sqrt2, -3.0, 3.0)
+    t2 = t * t
+    p = jnp.asarray(_ERF_FAST[0], x.dtype)
+    for a in _ERF_FAST[1:]:
+        p = p * t2 + a
+    return 0.5 * x * (1.0 + t * p)
+
+
 # the 8 BLC band kernels stacked into Wband, in output-region order
 # (flip quirk applied — see module docstring)
 _BAND_SOURCES = (
@@ -141,28 +163,105 @@ def _lane_shift_mats(co, C):
     return P23to01, P01to23, mask_b01, mask_b23
 
 
-def _stack_kernel(wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref,
-                  gmat_ref, gmat_t_ref, perm_ref, x_hbm, out_hbm,
-                  src, sem, *, R, hr, wc, co, groups, act, learned,
-                  acc_dtype):
+def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
+                  acc_dtype, pool, use_gn=True, use_act=True,
+                  split=(), rect=False):
     """One grid step = one FluidLayer on the VMEM-resident field.
 
     All channel dims are host-padded to a common lane size C (Mosaic
     forbids lane-dim slices not aligned to the 128 tiling); padded
     channels carry exact zeros through conv -> zeroed-affine GN -> GELU.
+
+    With ``pool``, the kernel additionally emits the factor-2 average
+    pool of its INPUT field as a second (haloed) output at r==0 — the
+    next pyramid level's input, computed in VMEM so the level chain
+    never round-trips through XLA pooling (strided slices on the block
+    dims lower to unsupported gathers / costly relayouts).
+
+    ``split`` (merge-stage trunks): the input arrives as multiple
+    lane-range pieces, each DMA'd into its 128-aligned lane slot of the
+    scratch — the lane concat happens in VMEM for free. ``rect``
+    (single-layer stacks with Cin≠Cout, e.g. the 87→16 merge-1 conv):
+    weights are (Cin, Cout) rectangles and the result lands in its own
+    output scratch instead of being written back. ``use_gn``/``use_act``
+    statically drop the GroupNorm / activation tail (merge convs 2/3).
     """
+    nx = max(1, len(split))
+    ncst = 11 if pool else 8
+    consts = refs[:ncst]
+    (wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref, gmat_ref,
+     gmat_t_ref, perm_ref) = consts[:8]
+    if pool:
+        prow_ref, pcol_ref, pmat_ref = consts[8:11]
+    rest = refs[ncst:]
+    xs_hbm = rest[:nx]
+    rest = rest[nx:]
+    if pool:
+        out_hbm, out2_hbm, src, scr2, sem, sem2 = rest
+    elif rect:
+        out_hbm, src, scr_out, sem = rest
+    else:
+        out_hbm, src, sem = rest
     r = pl.program_id(0)
     H, W = hr * FR, wc * FC
 
-    # whole-buffer DMAs only (module docstring): the halo travels with
-    # the field
+    # whole-buffer DMAs only for unsplit inputs (module docstring: the
+    # halo travels with the field); split pieces use 128-aligned lane
+    # slices into the zeroed scratch
     @pl.when(r == 0)
     def _load():
-        dma = pltpu.make_async_copy(x_hbm, src, sem)
-        dma.start()
-        dma.wait()
+        if split:
+            # pieces arrive pre-haloed; only the lane dim is sliced
+            # (128-aligned slots — halo-dim slicing is illegal on wide
+            # memrefs, whose second-minor tiling is 8)
+            off = 0
+            for i, cs in enumerate(split):
+                dma = pltpu.make_async_copy(
+                    xs_hbm[i], src.at[:, :, off:off + cs], sem)
+                dma.start()
+                dma.wait()
+                off += cs
+        else:
+            dma = pltpu.make_async_copy(xs_hbm[0], src, sem)
+            dma.start()
+            dma.wait()
+
+    if pool:
+        @pl.when(r == 0)
+        def _pool():
+            # cols-then-rows contraction order lands the result directly
+            # in (hr2, wc2, C) — no Mosaic transpose. Default precision:
+            # every conv already passes activations through bf16, so the
+            # pool picks add no new noise class (CPU interpret stays
+            # exact f32).
+            hr2, wc2 = hr // 2, wc // 2
+            yin = src[1:hr + 1, 1:wc + 1, :]
+            acc = None
+            for j in (0, 1):
+                t = lax.dot_general(pcol_ref[j], yin,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=acc_dtype)
+                for i in (0, 1):                     # t: (wc2, hr, C)
+                    u = lax.dot_general(prow_ref[i], t,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=acc_dtype)
+                    v = lax.dot_general(u, pmat_ref[2 * i + j],
+                                        (((2,), (0,)), ((), ())),
+                                        preferred_element_type=acc_dtype)
+                    acc = v if acc is None else acc + v
+            scr2[:] = jnp.zeros_like(scr2)
+            scr2[1:hr2 + 1, 1:wc2 + 1, :] = acc
+            dma = pltpu.make_async_copy(scr2, out2_hbm, sem2)
+            dma.start()
+            dma.wait()
 
     def dot(xs, wv, precision=None):
+        # bf16-stored conv weights (TPU): cast the activation side to
+        # bf16 too — bit-identical to the default MXU precision on f32
+        # operands (which truncates both to bf16), at half the weight
+        # streaming bandwidth. Stat/affine consts stay f32.
+        if wv.dtype == jnp.bfloat16:
+            xs = xs.astype(jnp.bfloat16)
         return lax.dot_general(xs, wv, (((xs.ndim - 1,), (0,)), ((), ())),
                                preferred_element_type=acc_dtype,
                                precision=precision)
@@ -249,34 +348,46 @@ def _stack_kernel(wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref,
 
     y = y + bias_ref[r][None, None, :]
 
-    # ---- GroupNorm over original channels (matmul statistics) ----
-    n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
-    s1 = jnp.sum(y, axis=(0, 1))[None]                 # (1, C)
-    s2 = jnp.sum(y * y, axis=(0, 1))[None]
-    # statistics dots run at full f32 precision: the 0/1 matrices are
-    # exact but casting the sums(-of-squares) to bf16 MXU inputs loses
-    # 8 mantissa bits exactly where GroupNorm amplifies them
-    hp = lax.Precision.HIGHEST
-    g1 = dot(s1, gmat_ref[:], hp)                      # (1, G)
-    g2 = dot(s2, gmat_ref[:], hp)
-    mean_g = g1 / n
-    var_g = g2 / n - mean_g * mean_g
-    inv_g = lax.rsqrt(var_g + 1e-5)
-    mean_c = dot(mean_g, gmat_t_ref[:], hp)            # (1, C)
-    inv_c = dot(inv_g, gmat_t_ref[:], hp)
-    y = (y - mean_c[0][None, None, :]) * inv_c[0][None, None, :]
-    # the affine (and implicitly the de-mean) is zeroed on padded
-    # channels, so they come out exactly 0 and GELU keeps them 0
-    y = y * gns_ref[r][None, None, :] + gnb_ref[r][None, None, :]
-    y = act(y)
+    if use_gn:
+        # ---- GroupNorm over original channels (matmul statistics) ----
+        n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
+        s1 = jnp.sum(y, axis=(0, 1))[None]             # (1, C)
+        s2 = jnp.sum(y * y, axis=(0, 1))[None]
+        # statistics dots run at full f32 precision: the 0/1 matrices
+        # are exact but casting the sums(-of-squares) to bf16 MXU inputs
+        # loses 8 mantissa bits exactly where GroupNorm amplifies them
+        hp = lax.Precision.HIGHEST
+        g1 = dot(s1, gmat_ref[:], hp)                  # (1, G)
+        g2 = dot(s2, gmat_ref[:], hp)
+        mean_g = g1 / n
+        var_g = g2 / n - mean_g * mean_g
+        inv_g = lax.rsqrt(var_g + 1e-5)
+        mean_c = dot(mean_g, gmat_t_ref[:], hp)        # (1, C)
+        inv_c = dot(inv_g, gmat_t_ref[:], hp)
+        y = (y - mean_c[0][None, None, :]) * inv_c[0][None, None, :]
+        # the affine (and implicitly the de-mean) is zeroed on padded
+        # channels, so they come out exactly 0 and GELU keeps them 0
+        y = y * gns_ref[r][None, None, :] + gnb_ref[r][None, None, :]
+    if use_act:
+        y = act(y)
 
-    src[1:hr + 1, 1:wc + 1, :] = y
+    if rect:
+        scr_out[:] = jnp.zeros_like(scr_out)
+        scr_out[1:hr + 1, 1:wc + 1, :] = y
 
-    @pl.when(r == R - 1)
-    def _store():
-        dma = pltpu.make_async_copy(src, out_hbm, sem)
-        dma.start()
-        dma.wait()
+        @pl.when(r == R - 1)
+        def _store_rect():
+            dma = pltpu.make_async_copy(scr_out, out_hbm, sem)
+            dma.start()
+            dma.wait()
+    else:
+        src[1:hr + 1, 1:wc + 1, :] = y
+
+        @pl.when(r == R - 1)
+        def _store():
+            dma = pltpu.make_async_copy(src, out_hbm, sem)
+            dma.start()
+            dma.wait()
 
 
 class LayerStack:
@@ -294,9 +405,15 @@ class LayerStack:
 
     def __init__(self, layers: List[dict], H: int, W: int,
                  k: int, act, learned: bool, dtype=jnp.float32,
-                 interpret: bool = False):
+                 interpret: bool = False, pool: bool = False,
+                 use_gn: bool = True, use_act: bool = True,
+                 split=None, in_perm=None, groups: int = None,
+                 in_dtype=None):
         assert k == 5, "band width 2 requires k=5"
         assert H % FR == 0 and W % FC == 0
+        if pool:
+            assert H % (2 * FR) == 0 and W % (2 * FC) == 0
+        assert not (pool and split), "pool not supported on split stacks"
         R = len(layers)
         ci = layers[0]["w"].shape[2]
         co = layers[0]["w"].shape[3]
@@ -308,10 +425,23 @@ class LayerStack:
         # so every channel axis is zero-padded to one common lane size C
         # and all kernel accesses use the full lane dim. Padded channels
         # stay exactly 0 (zero weights in, zeroed GN affine out).
-        C = max(fci, fco)
+        #
+        # Split stacks (merge trunks fed by lane-range piece DMAs) use
+        # separate in/out lane sizes: Cin = Σ split slot sizes (each
+        # 128-aligned), Cout = fco, with rectangular weights.
+        rect = split is not None
+        if rect:
+            assert R == 1, "split stacks are single-layer"
+            assert all(s % 128 == 0 for s in split), \
+                "split slots must be 128-aligned"
+            Cin = int(sum(split))
+            Cout = fco
+        else:
+            Cin = Cout = max(fci, fco)
+        C = Cout
         self.shape_in = (hr, wc, fci)
         self.shape_out = (hr, wc, fco)
-        self._C = C
+        self._C = Cin
         dtype = np.dtype(dtype)
 
         def padded(a, shape):
@@ -319,8 +449,20 @@ class LayerStack:
             out[tuple(slice(0, s) for s in a.shape)] = a
             return out
 
+        def pad_in(w):
+            """(3,3,fci,fco) → (3,3,Cin,Cout), applying the optional
+            input-lane permutation (piece-major trunk layouts)."""
+            out = np.zeros((3, 3, Cin, Cout), dtype)
+            if in_perm is None:
+                out[:, :, :w.shape[2], :w.shape[3]] = w
+            else:
+                valid = np.asarray(in_perm) >= 0
+                out[:, :, valid, :w.shape[3]] = \
+                    w[:, :, np.asarray(in_perm)[valid], :]
+            return out
+
         wmain = np.stack([
-            padded(s2d_conv_weights_rect(l["w"], FR, FC), (3, 3, C, C))
+            pad_in(s2d_conv_weights_rect(l["w"], FR, FC))
             for l in layers])
         bias = np.stack([padded(np.tile(np.asarray(l["bias"]), FR * FC),
                                 (C,)) for l in layers])
@@ -336,15 +478,16 @@ class LayerStack:
             _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
             wband = np.stack([
                 np.stack([
-                    padded(s2d_conv_weights_rect(np.asarray(l[nm]),
-                                                 FR, FC), (3, 3, C, C))
+                    pad_in(s2d_conv_weights_rect(np.asarray(l[nm]),
+                                                 FR, FC))
                     @ _fold.get(i, np.eye(C, dtype=np.float32))
                     for i, nm in enumerate(_BAND_SOURCES)])
-                for l in layers])             # (R, 8, 3, 3, C, C)
+                for l in layers])             # (R, 8, 3, 3, Cin, Cout)
         else:
             wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
 
-        groups = max(1, co // min(4, co))
+        if groups is None:
+            groups = max(1, co // min(4, co))
         gmat, gmat_t = _group_mats(co, groups, C)
         # lane keep-masks: [b∈{0,1}, b∈{2,3}] (padded lanes are in
         # neither mask — they stay whatever the main conv made them,
@@ -352,52 +495,129 @@ class LayerStack:
         perm = np.stack([m01, m23])
         kern = functools.partial(
             _stack_kernel, R=R, hr=hr, wc=wc, co=co,
-            groups=groups, act=act, learned=learned, acc_dtype=dtype)
+            groups=groups, act=act, learned=learned, acc_dtype=dtype,
+            pool=pool, use_gn=use_gn, use_act=use_act,
+            split=tuple(split) if rect else (), rect=rect)
 
+        in_specs = [
+            pl.BlockSpec((1,) + wmain.shape[1:],
+                         lambda r: (r, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + wband.shape[1:],
+                         lambda r: (r, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (R, C)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gn scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gn bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix.T
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # perms+masks
+        ]
+        out_shape = jax.ShapeDtypeStruct((hr + 2, wc + 2, Cout), dtype)
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        in_dtype = np.dtype(in_dtype) if in_dtype is not None else dtype
+        assert in_dtype == dtype or rect, \
+            "reduced-precision input scratch is for rect stacks only"
+        # wide (multi-lane-tile) memrefs are tiled (8,128) on the last
+        # two dims, and sliced DMAs must keep every dim 8/128-aligned —
+        # so split trunks pad the haloed width up to a multiple of 8
+        # (pieces arrive padded likewise; loads are unaffected)
+        wcp = -(-(wc + 2) // 8) * 8 if rect else wc + 2
+        self._wcp = wcp
+        scratch = [pltpu.VMEM((hr + 2, wcp, Cin), in_dtype),
+                   pltpu.SemaphoreType.DMA(())]
+        if rect:
+            # rect stacks write into their own output scratch
+            scratch.insert(1, pltpu.VMEM((hr + 2, wc + 2, Cout), dtype))
+        pool_consts = ()
+        if pool:
+            hr2, wc2 = hr // 2, wc // 2
+            prow = np.zeros((2, hr2, hr), np.float32)
+            pcol = np.zeros((2, wc2, wc), np.float32)
+            for par in (0, 1):
+                prow[par, np.arange(hr2), 2 * np.arange(hr2) + par] = 1.0
+                pcol[par, np.arange(wc2), 2 * np.arange(wc2) + par] = 1.0
+            from .s2d import _pool_lane_mats
+            pm = _pool_lane_mats(co)
+            pmat = np.zeros((4, C, C), np.float32)
+            n8 = FR * FC * co
+            for i in (0, 1):
+                for j in (0, 1):
+                    pmat[2 * i + j, :n8, :n8] = pm[(i, j)]
+            pool_consts = (prow.astype(dtype), pcol.astype(dtype),
+                           pmat.astype(dtype))
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((hr2 + 2, wc2 + 2, C),
+                                              dtype))
+            out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                         pl.BlockSpec(memory_space=pl.ANY))
+            scratch.append(pltpu.VMEM((hr2 + 2, wc2 + 2, C), dtype))
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+
+        nx = len(split) if rect else 1
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nx  # x (HBM)
+        # scratch order: src, [scr2], sem, [sem2] — match kernel unpack
+        if pool:
+            scratch = [scratch[0], scratch[2], scratch[1], scratch[3]]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(R,),
-            in_specs=[
-                pl.BlockSpec((1,) + wmain.shape[1:],
-                             lambda r: (r, 0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1,) + wband.shape[1:],
-                             lambda r: (r, 0, 0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (R, C)
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # gn scale
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # gn bias
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix.T
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # perms+masks
-                pl.BlockSpec(memory_space=pl.ANY),       # x (HBM)
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out (HBM)
-            scratch_shapes=[
-                pltpu.VMEM((hr + 2, wc + 2, C), dtype),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         self._call = pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((hr + 2, wc + 2, C), dtype),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
         )
         self._hr, self._wc = hr, wc
+        self.pool = pool
+        self.rect = rect
+        self._pool_consts = pool_consts
         # kept as NumPy: LayerStack may be built lazily inside a jit
         # trace (fast_path defers the host-side weight transforms), and
-        # jnp constants created there would leak tracers across traces
-        self._consts = (wmain.astype(dtype), wband.astype(dtype),
+        # jnp constants created there would leak tracers across traces.
+        # On TPU the conv weights are stored in bf16 — the step is
+        # weight-streaming-bound (~190 MB/step of band weights at f32
+        # across the level stacks) and default MXU precision truncates
+        # f32 operands to bf16 anyway, so this halves the bandwidth
+        # bit-identically. Interpret mode (CPU tests) keeps exact f32.
+        wdt = np.dtype(jnp.bfloat16) if not interpret else dtype
+        self._consts = (wmain.astype(wdt), wband.astype(wdt),
                         bias.astype(dtype), gns.astype(dtype),
                         gnb.astype(dtype), gmat.astype(dtype),
                         gmat_t.astype(dtype), perm.astype(dtype))
 
+    def prep(self, x6):
+        """Zero-halo + channel-pad a (hr, wc, fr·fc·Ci) activation into
+        the raw kernel input layout (hr+2, wc+2, C)."""
+        fci = self.shape_in[-1]
+        return jnp.pad(x6, ((1, 1), (1, 1), (0, self._C - fci)))
+
+    def call_raw(self, xh):
+        """Run on a raw haloed input (hr+2, wc+2, C) — e.g. the previous
+        stack's raw output or its in-kernel pooled second output (halo
+        zeros are preserved by the kernel, so chained stacks skip the
+        XLA pad/slice round-trips). Returns the raw haloed output, plus
+        the haloed pooled input when ``pool``."""
+        return self._call(*self._consts, *self._pool_consts, xh)
+
+    def call_split(self, *pieces):
+        """Split stacks: ``pieces`` are pre-HALOED (hr+2, wc+2, slot_i)
+        lane ranges of the trunk (each slot 128-aligned, zero halos);
+        the kernel DMAs each into its lane slice of the scratch — the
+        lane concat happens in VMEM. Returns the raw haloed
+        (hr+2, wc+2, Cout)."""
+        assert self.rect
+        return self._call(*self._consts, *pieces)
+
     def __call__(self, x6):
         """x6: (hr, wc, fr·fc·Ci) — batch-free block-layout activation."""
         hr, wc = self._hr, self._wc
-        fci = self.shape_in[-1]
         fco = self.shape_out[-1]
-        x6 = jnp.pad(x6, ((1, 1), (1, 1), (0, self._C - fci)))
-        y = self._call(*self._consts, x6)
+        out = self.call_raw(self.prep(x6))
+        y = out[0] if self.pool else out
         return y[1:hr + 1, 1:wc + 1, :fco]

@@ -11,7 +11,7 @@ elsewhere (CPU interpret-mode Pallas has no scoped-VMEM notion).
 
 import jax
 
-TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
 
 
 def tpu_jit(fun, **kw):
