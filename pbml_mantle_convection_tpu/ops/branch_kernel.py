@@ -163,6 +163,150 @@ def _lane_shift_mats(co, C):
     return P23to01, P01to23, mask_b01, mask_b23
 
 
+def _fluid_layer_op(src, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
+                    gmat_t_ref, perm_ref, *, hr, wc, co, groups, act,
+                    learned, acc_dtype, use_gn=True, use_act=True):
+    """One FluidLayer on a haloed scratch ref: main conv + boundary
+    bands + bias [+ GroupNorm] [+ activation]. ``wm(P, Q)`` /
+    ``wb(i, P, Q)`` return the layer's weight values; returns the
+    (hr, wc, Cout) result (caller stores it). Shared by the per-stack
+    kernel (_stack_kernel) and the whole-pyramid kernel
+    (pyramid_kernel.py)."""
+    H, W = hr * FR, wc * FC
+
+    def dot(xs, wv, precision=None):
+        # bf16-stored conv weights (TPU): cast the activation side to
+        # bf16 too — bit-identical to the default MXU precision on f32
+        # operands (which truncates both to bf16), at half the weight
+        # streaming bandwidth. Stat/affine consts stay f32.
+        if wv.dtype == jnp.bfloat16:
+            xs = xs.astype(jnp.bfloat16)
+        return lax.dot_general(xs, wv, (((xs.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=acc_dtype,
+                               precision=precision)
+
+    # ---- main conv: 9 shifted s2d taps (padded scratch) ----
+    y = None
+    for P in range(3):
+        for Q in range(3):
+            t = dot(src[P:P + hr, Q:Q + wc, :], wm(P, Q))
+            y = t if y is None else y + t
+
+    if learned:
+        # every band = the same 9-tap structure with that edge's
+        # weights, evaluated at a shifted block position (module
+        # docstring). Indices are into the padded scratch (+1 offset).
+        def conv_row(widx, i):
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[i + P, Q:Q + wc, :], wb(widx, P, Q))
+                    out = t if out is None else out + t
+            return out
+
+        def conv_col(widx, j):
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[P:P + hr, j + Q, :], wb(widx, P, Q))
+                    out = t if out is None else out + t
+            return out
+
+        def conv_blk(widx, i, j):
+            out = None
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(src[i + P, j + Q:j + Q + 1, :],
+                            wb(widx, P, Q))
+                    out = t if out is None else out + t
+            return out
+
+        # col-band / corner weights carry the b∈{2,3}↔{0,1} lane-group
+        # permutation pre-folded on the output dim, so their dots land
+        # directly on the target lanes
+        top_row = conv_row(0, hr - 2)      # values at block row hr-2
+        bot_row = conv_row(1, 1)           # values at block row 1
+        left_col = conv_col(2, 0)          # band on lanes b∈{0,1}
+        right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
+        c_bl = conv_blk(4, hr - 2, 0)
+        c_br = conv_blk(5, hr - 2, wc - 1)
+        c_tl = conv_blk(6, 1, 0)
+        c_tr = conv_blk(7, 1, wc - 1)
+
+        mask_b01 = perm_ref[0][None, :]     # (1, C)
+        mask_b23 = perm_ref[1][None, :]
+
+        # ---- assembly: block-row concats + lane-group selects ----
+        top0 = c_bl + top_row[0:1] * mask_b23
+        topW = c_br + top_row[wc - 1:wc] * mask_b01
+        top_full = jnp.concatenate(
+            [top0, top_row[1:wc - 1], topW], axis=0)
+        bot0 = c_tl + bot_row[0:1] * mask_b23
+        botW = c_tr + bot_row[wc - 1:wc] * mask_b01
+        bot_full = jnp.concatenate(
+            [bot0, bot_row[1:wc - 1], botW], axis=0)
+
+        left_fix = (left_col[1:hr - 1]
+                    + y[1:hr - 1, 0] * mask_b23)
+        right_fix = (right_col[1:hr - 1]
+                     + y[1:hr - 1, wc - 1] * mask_b01)
+        ymid = jnp.concatenate(
+            [jnp.expand_dims(left_fix, 1), y[1:hr - 1, 1:wc - 1],
+             jnp.expand_dims(right_fix, 1)], axis=1)
+        y = jnp.concatenate(
+            [top_full[None], ymid, bot_full[None]], axis=0)
+
+    y = y + bias_row[None, None, :]
+
+    if use_gn:
+        # ---- GroupNorm over original channels (matmul statistics) ----
+        n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
+        s1 = jnp.sum(y, axis=(0, 1))[None]             # (1, C)
+        s2 = jnp.sum(y * y, axis=(0, 1))[None]
+        # statistics dots at full f32 precision: the 0/1 matrices are
+        # exact but casting the sums(-of-squares) to bf16 MXU inputs
+        # loses 8 mantissa bits where GroupNorm amplifies them
+        hp = lax.Precision.HIGHEST
+        g1 = dot(s1, gmat_ref[:], hp)                  # (1, G)
+        g2 = dot(s2, gmat_ref[:], hp)
+        mean_g = g1 / n
+        var_g = g2 / n - mean_g * mean_g
+        inv_g = lax.rsqrt(var_g + 1e-5)
+        mean_c = dot(mean_g, gmat_t_ref[:], hp)        # (1, C)
+        inv_c = dot(inv_g, gmat_t_ref[:], hp)
+        y = (y - mean_c[0][None, None, :]) * inv_c[0][None, None, :]
+        # the affine is zeroed on padded channels, so they come out
+        # exactly 0 and GELU keeps them 0
+        y = y * gns_row[None, None, :] + gnb_row[None, None, :]
+    if use_act:
+        y = act(y)
+    return y
+
+
+def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc, acc_dtype):
+    """Factor-2 average pool of the haloed scratch's interior in block
+    layout: parity picks as 0/1 sublane matmuls (cols-then-rows so the
+    result lands directly in (hr2, wc2, C) — no Mosaic transpose), the
+    2×2→lane mean as a lane matmul. Default precision: every conv
+    already passes activations through bf16, so the pool picks add no
+    new noise class (CPU interpret stays exact f32)."""
+    yin = src[1:hr + 1, 1:wc + 1, :]
+    acc = None
+    for j in (0, 1):
+        t = lax.dot_general(pcol_ref[j], yin,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=acc_dtype)
+        for i in (0, 1):                     # t: (wc2, hr, C)
+            u = lax.dot_general(prow_ref[i], t,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=acc_dtype)
+            v = lax.dot_general(u, pmat_ref[2 * i + j],
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=acc_dtype)
+            acc = v if acc is None else acc + v
+    return acc
+
+
 def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
                   acc_dtype, pool, use_gn=True, use_act=True,
                   split=(), rect=False):
@@ -229,147 +373,22 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     if pool:
         @pl.when(r == 0)
         def _pool():
-            # cols-then-rows contraction order lands the result directly
-            # in (hr2, wc2, C) — no Mosaic transpose. Default precision:
-            # every conv already passes activations through bf16, so the
-            # pool picks add no new noise class (CPU interpret stays
-            # exact f32).
             hr2, wc2 = hr // 2, wc // 2
-            yin = src[1:hr + 1, 1:wc + 1, :]
-            acc = None
-            for j in (0, 1):
-                t = lax.dot_general(pcol_ref[j], yin,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=acc_dtype)
-                for i in (0, 1):                     # t: (wc2, hr, C)
-                    u = lax.dot_general(prow_ref[i], t,
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=acc_dtype)
-                    v = lax.dot_general(u, pmat_ref[2 * i + j],
-                                        (((2,), (0,)), ((), ())),
-                                        preferred_element_type=acc_dtype)
-                    acc = v if acc is None else acc + v
+            acc = _pool_op(src, prow_ref, pcol_ref, pmat_ref,
+                           hr=hr, wc=wc, acc_dtype=acc_dtype)
             scr2[:] = jnp.zeros_like(scr2)
             scr2[1:hr2 + 1, 1:wc2 + 1, :] = acc
             dma = pltpu.make_async_copy(scr2, out2_hbm, sem2)
             dma.start()
             dma.wait()
 
-    def dot(xs, wv, precision=None):
-        # bf16-stored conv weights (TPU): cast the activation side to
-        # bf16 too — bit-identical to the default MXU precision on f32
-        # operands (which truncates both to bf16), at half the weight
-        # streaming bandwidth. Stat/affine consts stay f32.
-        if wv.dtype == jnp.bfloat16:
-            xs = xs.astype(jnp.bfloat16)
-        return lax.dot_general(xs, wv, (((xs.ndim - 1,), (0,)), ((), ())),
-                               preferred_element_type=acc_dtype,
-                               precision=precision)
-
-    # ---- main conv: 9 shifted s2d taps (padded scratch) ----
-    y = None
-    for P in range(3):
-        for Q in range(3):
-            t = dot(src[P:P + hr, Q:Q + wc, :], wmain_ref[0, P, Q])
-            y = t if y is None else y + t
-
-    if learned:
-        # every band = the same 9-tap structure with that edge's weights,
-        # evaluated at a shifted block position (module docstring). All
-        # indices are into the padded scratch (+1 offset).
-        def conv_row(widx, i):
-            """s2d conv output at block row i (full width) → (wc, C)."""
-            out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[i + P, Q:Q + wc, :],
-                            wband_ref[0, widx, P, Q])
-                    out = t if out is None else out + t
-            return out
-
-        def conv_col(widx, j):
-            """s2d conv output at block col j (full height) → (hr, C)."""
-            out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[P:P + hr, j + Q, :],
-                            wband_ref[0, widx, P, Q])
-                    out = t if out is None else out + t
-            return out
-
-        def conv_blk(widx, i, j):
-            """s2d conv output at single block (i, j) → (1, C)."""
-            out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[i + P, j + Q:j + Q + 1, :],
-                            wband_ref[0, widx, P, Q])
-                    out = t if out is None else out + t
-            return out
-
-        # col-band / corner weights carry the b∈{2,3}↔{0,1} lane-group
-        # permutation pre-folded on the output dim (LayerStack.__init__),
-        # so their dots land directly on the target lanes
-        top_row = conv_row(0, hr - 2)      # values at block row hr-2
-        bot_row = conv_row(1, 1)           # values at block row 1
-        left_col = conv_col(2, 0)          # band on lanes b∈{0,1}
-        right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
-        c_bl = conv_blk(4, hr - 2, 0)
-        c_br = conv_blk(5, hr - 2, wc - 1)
-        c_tl = conv_blk(6, 1, 0)
-        c_tr = conv_blk(7, 1, wc - 1)
-
-        mask_b01 = perm_ref[0][None, :]     # (1, C)
-        mask_b23 = perm_ref[1][None, :]
-
-        # ---- assembly: block-row concats + lane-group selects ----
-        # top/bottom block rows: band values everywhere, corner values
-        # overlaid on the outer lane groups of the edge block cols
-        top0 = c_bl + top_row[0:1] * mask_b23
-        topW = c_br + top_row[wc - 1:wc] * mask_b01
-        top_full = jnp.concatenate(
-            [top0, top_row[1:wc - 1], topW], axis=0)
-        bot0 = c_tl + bot_row[0:1] * mask_b23
-        botW = c_tr + bot_row[wc - 1:wc] * mask_b01
-        bot_full = jnp.concatenate(
-            [bot0, bot_row[1:wc - 1], botW], axis=0)
-
-        # interior block rows: edge block cols mix main-conv lanes with
-        # the lane-shifted column-band values
-        left_fix = (left_col[1:hr - 1]
-                    + y[1:hr - 1, 0] * mask_b23)
-        right_fix = (right_col[1:hr - 1]
-                     + y[1:hr - 1, wc - 1] * mask_b01)
-        ymid = jnp.concatenate(
-            [jnp.expand_dims(left_fix, 1), y[1:hr - 1, 1:wc - 1],
-             jnp.expand_dims(right_fix, 1)], axis=1)
-        y = jnp.concatenate(
-            [top_full[None], ymid, bot_full[None]], axis=0)
-
-    y = y + bias_ref[r][None, None, :]
-
-    if use_gn:
-        # ---- GroupNorm over original channels (matmul statistics) ----
-        n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
-        s1 = jnp.sum(y, axis=(0, 1))[None]             # (1, C)
-        s2 = jnp.sum(y * y, axis=(0, 1))[None]
-        # statistics dots run at full f32 precision: the 0/1 matrices
-        # are exact but casting the sums(-of-squares) to bf16 MXU inputs
-        # loses 8 mantissa bits exactly where GroupNorm amplifies them
-        hp = lax.Precision.HIGHEST
-        g1 = dot(s1, gmat_ref[:], hp)                  # (1, G)
-        g2 = dot(s2, gmat_ref[:], hp)
-        mean_g = g1 / n
-        var_g = g2 / n - mean_g * mean_g
-        inv_g = lax.rsqrt(var_g + 1e-5)
-        mean_c = dot(mean_g, gmat_t_ref[:], hp)        # (1, C)
-        inv_c = dot(inv_g, gmat_t_ref[:], hp)
-        y = (y - mean_c[0][None, None, :]) * inv_c[0][None, None, :]
-        # the affine (and implicitly the de-mean) is zeroed on padded
-        # channels, so they come out exactly 0 and GELU keeps them 0
-        y = y * gns_ref[r][None, None, :] + gnb_ref[r][None, None, :]
-    if use_act:
-        y = act(y)
+    y = _fluid_layer_op(
+        src, lambda P, Q: wmain_ref[0, P, Q],
+        lambda i, P, Q: wband_ref[0, i, P, Q],
+        bias_ref[r], gns_ref[r], gnb_ref[r], gmat_ref, gmat_t_ref,
+        perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
+        learned=learned, acc_dtype=acc_dtype, use_gn=use_gn,
+        use_act=use_act)
 
     if rect:
         scr_out[:] = jnp.zeros_like(scr_out)
