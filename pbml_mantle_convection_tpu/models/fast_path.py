@@ -322,27 +322,15 @@ class FastNewFluidNet:
                 d["gn_bias"] = np.zeros(co, dtype)
             return d
 
+        from ..ops.merge_kernel import TrunkStack
         c_ps = [m.c_h] * m.levels + [m.c_i]
-        slot = [-(-8 * c // 128) * 128 for c in c_ps]
-        c_cat = sum(c_ps)
-        offs = np.cumsum([0] + c_ps)
-        in_perm = np.full(sum(slot), -1, np.int64)
-        O = 0
-        for p_i, cp in enumerate(c_ps):
-            for q in range(8 * cp):
-                blk, cc = divmod(q, cp)
-                in_perm[O + q] = blk * c_cat + offs[p_i] + cc
-            O += slot[p_i]
-        self._mk_slot = slot
-        # NOTE: the trunk scratch must stay f32 — Mosaic tiles bf16
-        # memrefs (8,128) on the second-minor dim, which forbids the
-        # offset-1 halo slicing the kernels rely on (f32 tiles (1,128))
-        in_dt = None
-        self.mkm1 = LayerStack(
-            [raw_merge(p["conv_1"], p["gn_0"]["GroupNorm_0"])],
-            H, W, k, act=act, learned=True, dtype=self.dtype,
-            interpret=interp, split=slot, in_perm=in_perm,
-            groups=max(1, m.c_h // 4), in_dtype=in_dt)
+        # merge-1 + in-kernel bicubic upsampling of the coarse branches
+        # (ops/merge_kernel.py): consumes the RAW haloed branch outputs
+        self.mkm1 = TrunkStack(
+            raw_merge(p["conv_1"], p["gn_0"]["GroupNorm_0"]),
+            c_ps, H, W, m.levels, k, act=act, learned=True,
+            dtype=self.dtype, interpret=interp,
+            groups=max(1, m.c_h // 4))
         self.mkm2 = LayerStack(
             [raw_merge(p["conv_2"])], H, W, k, act=act, learned=True,
             dtype=self.dtype, interpret=interp, use_gn=False)
@@ -566,12 +554,22 @@ class FastNewFluidNet:
         count0 = float(H * W)
 
         if self.use_megakernel and B == 1 and mask0 is None:
-            b0_raw, resized, x6r = self._megakernel_branches(x, H, W)
+            b0_raw, raw_outs, x6r = self._megakernel_branches(x, H, W)
             if isinstance(self.merge1, dict):
-                return self._finish_mergek(b0_raw, resized, x6r, H, W)
+                return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
+            from ..ops.s2d import depth_to_space_rect
+            from ..ops.branch_kernel import FR, FC
+            m = self.m
             st0 = self.mk_branches[0]
             b0_rect = b0_raw[1:st0._hr + 1, 1:st0._wc + 1,
                              :st0.shape_out[-1]][None]
+            resized = []
+            for l, y_h in enumerate(raw_outs, start=1):
+                stack = self.mk_branches[l]
+                y6 = y_h[1:stack._hr + 1, 1:stack._wc + 1,
+                         :stack.shape_out[-1]][None]
+                yd = depth_to_space_rect(y6, FR, FC, m.c_h)
+                resized.append(resize_bicubic_nhwc(yd, (H, W)))
             return self._finish_f4p(b0_rect, resized, x, x6r, H, W,
                                     count0)
 
@@ -630,8 +628,8 @@ class FastNewFluidNet:
             b_in_h = self.mk_branches[0].prep(
                 b_in_h[1:hr0 + 1, 1:wc0 + 1, :8 * m.c_h])
 
-        b0_rect = None
-        resized = []
+        b0_raw = None
+        raw_outs = []
         for l in range(m.levels):
             stack = self.mk_branches[l]
             out = stack.call_raw(b_in_h)
@@ -639,15 +637,11 @@ class FastNewFluidNet:
                 y_h, b_in_h = out
             else:
                 y_h = out
-            hr, wc = stack._hr, stack._wc
             if l == 0:
                 b0_raw = y_h          # keep the raw halo for the merge
             else:
-                y6 = y_h[1:hr + 1, 1:wc + 1,
-                         :stack.shape_out[-1]][None]
-                yd = depth_to_space_rect(y6, FR, FC, m.c_h)
-                resized.append(resize_bicubic_nhwc(yd, (H, W)))
-        return b0_raw, resized, x6r
+                raw_outs.append(y_h)
+        return b0_raw, raw_outs, x6r
 
     def _finish_f4p(self, b0_rect, resized, x, x6r, H, W, count0):
         """Merge stage fed straight from block layout.
@@ -688,32 +682,28 @@ class FastNewFluidNet:
         y6, c_o = self._merge_tail(y6, None, count0, H, W)
         return self._head(y6, c_o, H, W)
 
-    def _finish_mergek(self, b0_raw, resized, x6r, H, W):
+    def _finish_mergek(self, b0_raw, raw_outs, x6r, H, W):
         """Merge stage as three Pallas kernels (learned path).
 
-        Pieces stay in rect block layout: each is DMA'd into its lane
-        slot of the merge-1 kernel's trunk scratch (VMEM lane concat);
-        merge-1 runs conv+bands+bias+GN0+GELU, merges 2/3 chain on its
-        raw haloed output (act-only / plain). On TPU the pieces are cast
-        to bf16 — identical to the default MXU precision the conv would
-        apply, at half the trunk DMA/VMEM."""
+        The trunk kernel (ops/merge_kernel.py) consumes the RAW haloed
+        branch outputs: it upsamples the coarse levels in VMEM, keeps
+        each piece in its own narrow scratch (the 87-channel lane
+        concat never materializes), and runs merge-1 = conv + BLC bands
+        + bias + GN0 + GELU; merges 2/3 chain on its raw haloed output
+        with GroupNorm/activation statically off."""
         m = self.m
         from ..ops.branch_kernel import FR, FC
-        from ..ops.s2d import depth_to_space_rect, space_to_depth_rect
-        # pieces are pre-haloed (the kernel can only lane-slice its
-        # wide trunk scratch): branch-0 keeps its raw halo, the rest
-        # get a zero halo + lane pad to their 128-aligned slot
-        pieces = [b0_raw]
-        pieces += [space_to_depth_rect(r, FR, FC)[0] for r in resized]
-        pieces.append(x6r[0])
-        wcp = self.mkm1._wcp
-        padded = []
-        for i, (pc, s) in enumerate(zip(pieces, self._mk_slot)):
-            h0 = 0 if i == 0 else 1
-            wpad = wcp - pc.shape[1] - h0
-            padded.append(jnp.pad(
-                pc, ((h0, h0), (h0, wpad), (0, s - pc.shape[-1]))))
-        y1 = self.mkm1.call_split(*padded)
+        from ..ops.s2d import depth_to_space_rect
+
+        def lanepad(pc):
+            return (jnp.pad(pc, ((0, 0), (0, 0),
+                                 (0, 128 - pc.shape[-1])))
+                    if pc.shape[-1] < 128 else pc)
+
+        xh = lanepad(jnp.pad(x6r[0], ((1, 1), (1, 1), (0, 0))))
+        pieces = ([lanepad(b0_raw)] + [lanepad(o) for o in raw_outs]
+                  + [xh])
+        y1 = self.mkm1(*pieces)
         y2 = self.mkm2.call_raw(y1)
         y3 = self.mkm3.call_raw(y2)
         hr, wc = self.mkm3._hr, self.mkm3._wc

@@ -163,16 +163,20 @@ def _lane_shift_mats(co, C):
     return P23to01, P01to23, mask_b01, mask_b23
 
 
-def _fluid_layer_op(src, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
+def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                     gmat_t_ref, perm_ref, *, hr, wc, co, groups, act,
                     learned, acc_dtype, use_gn=True, use_act=True):
-    """One FluidLayer on a haloed scratch ref: main conv + boundary
-    bands + bias [+ GroupNorm] [+ activation]. ``wm(P, Q)`` /
-    ``wb(i, P, Q)`` return the layer's weight values; returns the
-    (hr, wc, Cout) result (caller stores it). Shared by the per-stack
-    kernel (_stack_kernel) and the whole-pyramid kernel
-    (pyramid_kernel.py)."""
+    """One FluidLayer on haloed scratch ref(s): main conv + boundary
+    bands + bias [+ GroupNorm] [+ activation].
+
+    ``srcs`` is a LIST of same-grid haloed scratches whose lane ranges
+    together form the input channels (a single-element list for plain
+    stacks; one per trunk piece for the merge kernel — the lane concat
+    never materializes, each piece contributes its own dots).
+    ``wm(p, P, Q)`` / ``wb(p, i, P, Q)`` return piece p's weight chunk
+    values; returns the (hr, wc, Cout) result (caller stores it)."""
     H, W = hr * FR, wc * FC
+    nsrc = len(srcs)
 
     def dot(xs, wv, precision=None):
         # bf16-stored conv weights (TPU): cast the activation side to
@@ -187,10 +191,12 @@ def _fluid_layer_op(src, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
 
     # ---- main conv: 9 shifted s2d taps (padded scratch) ----
     y = None
-    for P in range(3):
-        for Q in range(3):
-            t = dot(src[P:P + hr, Q:Q + wc, :], wm(P, Q))
-            y = t if y is None else y + t
+    for p_i in range(nsrc):
+        for P in range(3):
+            for Q in range(3):
+                t = dot(srcs[p_i][P:P + hr, Q:Q + wc, :],
+                        wm(p_i, P, Q))
+                y = t if y is None else y + t
 
     if learned:
         # every band = the same 9-tap structure with that edge's
@@ -198,27 +204,32 @@ def _fluid_layer_op(src, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
         # docstring). Indices are into the padded scratch (+1 offset).
         def conv_row(widx, i):
             out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[i + P, Q:Q + wc, :], wb(widx, P, Q))
-                    out = t if out is None else out + t
+            for p_i in range(nsrc):
+                for P in range(3):
+                    for Q in range(3):
+                        t = dot(srcs[p_i][i + P, Q:Q + wc, :],
+                                wb(p_i, widx, P, Q))
+                        out = t if out is None else out + t
             return out
 
         def conv_col(widx, j):
             out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[P:P + hr, j + Q, :], wb(widx, P, Q))
-                    out = t if out is None else out + t
+            for p_i in range(nsrc):
+                for P in range(3):
+                    for Q in range(3):
+                        t = dot(srcs[p_i][P:P + hr, j + Q, :],
+                                wb(p_i, widx, P, Q))
+                        out = t if out is None else out + t
             return out
 
         def conv_blk(widx, i, j):
             out = None
-            for P in range(3):
-                for Q in range(3):
-                    t = dot(src[i + P, j + Q:j + Q + 1, :],
-                            wb(widx, P, Q))
-                    out = t if out is None else out + t
+            for p_i in range(nsrc):
+                for P in range(3):
+                    for Q in range(3):
+                        t = dot(srcs[p_i][i + P, j + Q:j + Q + 1, :],
+                                wb(p_i, widx, P, Q))
+                        out = t if out is None else out + t
             return out
 
         # col-band / corner weights carry the b∈{2,3}↔{0,1} lane-group
@@ -383,8 +394,8 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
             dma.wait()
 
     y = _fluid_layer_op(
-        src, lambda P, Q: wmain_ref[0, P, Q],
-        lambda i, P, Q: wband_ref[0, i, P, Q],
+        [src], lambda p, P, Q: wmain_ref[0, P, Q],
+        lambda p, i, P, Q: wband_ref[0, i, P, Q],
         bias_ref[r], gns_ref[r], gnb_ref[r], gmat_ref, gmat_t_ref,
         perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
         learned=learned, acc_dtype=acc_dtype, use_gn=use_gn,
