@@ -144,14 +144,20 @@ class FastNewFluidNet:
         semantics at the ~1e-3 level — OFF by default.
 
         ``megakernel`` (default: auto — on for the TPU backend, off
-        elsewhere; pass True to force the interpret-mode kernel on CPU)
-        executes the stem and
-        each branch stack as one whole-branch Pallas kernel with the
-        activation VMEM-resident across ``repeats`` layers
-        (ops/branch_kernel.py, PERF.md idea 1). The kernel uses its own
-        f=2 space-to-depth layout (independent of this object's ``f``);
-        applies when B=1, k=5, factor=2 and the pooled grid chain stays
-        even — falls back to the standard fast path otherwise."""
+        elsewhere; pass True to force the interpret-mode kernels on
+        CPU) executes the network as 7 Pallas kernels on a rect
+        fr=2 × fc=4 block layout: stem + one whole-branch kernel per
+        pyramid level (activation VMEM-resident across ``repeats``
+        layers, boundary bands/GroupNorm/GELU in-kernel, factor-2 pool
+        of the next level's input as a second output —
+        ops/branch_kernel.py), a merge-trunk kernel that upsamples the
+        coarse branches in VMEM and runs merge-1 + GN0
+        (ops/merge_kernel.py), and two thin merge stacks. Applies when
+        B=1, k=5, factor=2, f=4 and the pooled grid chain stays
+        block-divisible — falls back to the standard fast path
+        otherwise. Exact to f32 round-off vs the module (CPU tests);
+        on TPU everything runs at the MXU's default bf16 precision,
+        like the standard path's XLA convolutions."""
         self.m = model
         self.f = f
         self.H, self.W = H, W

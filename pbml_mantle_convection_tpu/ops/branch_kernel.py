@@ -43,7 +43,9 @@ tests/test_branch_kernel.py (same standard as tests/test_fast_path.py).
 Supported (the flagship rollout configuration): B=1, k=5, bc=1,
 r_p in {learned, zeros}, H % 2 == 0, W % 4 == 0, ≥3 block rows/cols,
 no dropout/spectral. Callers fall back to the standard fast path
-otherwise.
+otherwise. The merge stage's trunk kernel (in-kernel bicubic + the
+87-channel merge conv) lives in ops/merge_kernel.py and shares this
+module's _fluid_layer_op/_pool_op.
 Reference: pytorch_networks_convae.py:1022-1065 (BLC stitch),
 :702-799 (FluidLayer).
 """
@@ -319,8 +321,7 @@ def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc, acc_dtype):
 
 
 def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
-                  acc_dtype, pool, use_gn=True, use_act=True,
-                  split=(), rect=False):
+                  acc_dtype, pool, use_gn=True, use_act=True):
     """One grid step = one FluidLayer on the VMEM-resident field.
 
     All channel dims are host-padded to a common lane size C (Mosaic
@@ -333,15 +334,9 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     never round-trips through XLA pooling (strided slices on the block
     dims lower to unsupported gathers / costly relayouts).
 
-    ``split`` (merge-stage trunks): the input arrives as multiple
-    lane-range pieces, each DMA'd into its 128-aligned lane slot of the
-    scratch — the lane concat happens in VMEM for free. ``rect``
-    (single-layer stacks with Cin≠Cout, e.g. the 87→16 merge-1 conv):
-    weights are (Cin, Cout) rectangles and the result lands in its own
-    output scratch instead of being written back. ``use_gn``/``use_act``
-    statically drop the GroupNorm / activation tail (merge convs 2/3).
+    ``use_gn``/``use_act`` statically drop the GroupNorm / activation
+    tail (the thin merge-2/3 stacks).
     """
-    nx = max(1, len(split))
     ncst = 11 if pool else 8
     consts = refs[:ncst]
     (wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref, gmat_ref,
@@ -349,37 +344,20 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     if pool:
         prow_ref, pcol_ref, pmat_ref = consts[8:11]
     rest = refs[ncst:]
-    xs_hbm = rest[:nx]
-    rest = rest[nx:]
+    x_hbm = rest[0]
     if pool:
-        out_hbm, out2_hbm, src, scr2, sem, sem2 = rest
-    elif rect:
-        out_hbm, src, scr_out, sem = rest
+        out_hbm, out2_hbm, src, scr2, sem, sem2 = rest[1:]
     else:
-        out_hbm, src, sem = rest
+        out_hbm, src, sem = rest[1:]
     r = pl.program_id(0)
-    H, W = hr * FR, wc * FC
 
-    # whole-buffer DMAs only for unsplit inputs (module docstring: the
-    # halo travels with the field); split pieces use 128-aligned lane
-    # slices into the zeroed scratch
+    # whole-buffer DMAs only (module docstring: the halo travels with
+    # the field)
     @pl.when(r == 0)
     def _load():
-        if split:
-            # pieces arrive pre-haloed; only the lane dim is sliced
-            # (128-aligned slots — halo-dim slicing is illegal on wide
-            # memrefs, whose second-minor tiling is 8)
-            off = 0
-            for i, cs in enumerate(split):
-                dma = pltpu.make_async_copy(
-                    xs_hbm[i], src.at[:, :, off:off + cs], sem)
-                dma.start()
-                dma.wait()
-                off += cs
-        else:
-            dma = pltpu.make_async_copy(xs_hbm[0], src, sem)
-            dma.start()
-            dma.wait()
+        dma = pltpu.make_async_copy(x_hbm, src, sem)
+        dma.start()
+        dma.wait()
 
     if pool:
         @pl.when(r == 0)
@@ -401,23 +379,13 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
         learned=learned, acc_dtype=acc_dtype, use_gn=use_gn,
         use_act=use_act)
 
-    if rect:
-        scr_out[:] = jnp.zeros_like(scr_out)
-        scr_out[1:hr + 1, 1:wc + 1, :] = y
+    src[1:hr + 1, 1:wc + 1, :] = y
 
-        @pl.when(r == R - 1)
-        def _store_rect():
-            dma = pltpu.make_async_copy(scr_out, out_hbm, sem)
-            dma.start()
-            dma.wait()
-    else:
-        src[1:hr + 1, 1:wc + 1, :] = y
-
-        @pl.when(r == R - 1)
-        def _store():
-            dma = pltpu.make_async_copy(src, out_hbm, sem)
-            dma.start()
-            dma.wait()
+    @pl.when(r == R - 1)
+    def _store():
+        dma = pltpu.make_async_copy(src, out_hbm, sem)
+        dma.start()
+        dma.wait()
 
 
 class LayerStack:
@@ -437,13 +405,11 @@ class LayerStack:
                  k: int, act, learned: bool, dtype=jnp.float32,
                  interpret: bool = False, pool: bool = False,
                  use_gn: bool = True, use_act: bool = True,
-                 split=None, in_perm=None, groups: int = None,
-                 in_dtype=None):
+                 groups: int = None):
         assert k == 5, "band width 2 requires k=5"
         assert H % FR == 0 and W % FC == 0
         if pool:
             assert H % (2 * FR) == 0 and W % (2 * FC) == 0
-        assert not (pool and split), "pool not supported on split stacks"
         R = len(layers)
         ci = layers[0]["w"].shape[2]
         co = layers[0]["w"].shape[3]
@@ -455,23 +421,10 @@ class LayerStack:
         # so every channel axis is zero-padded to one common lane size C
         # and all kernel accesses use the full lane dim. Padded channels
         # stay exactly 0 (zero weights in, zeroed GN affine out).
-        #
-        # Split stacks (merge trunks fed by lane-range piece DMAs) use
-        # separate in/out lane sizes: Cin = Σ split slot sizes (each
-        # 128-aligned), Cout = fco, with rectangular weights.
-        rect = split is not None
-        if rect:
-            assert R == 1, "split stacks are single-layer"
-            assert all(s % 128 == 0 for s in split), \
-                "split slots must be 128-aligned"
-            Cin = int(sum(split))
-            Cout = fco
-        else:
-            Cin = Cout = max(fci, fco)
-        C = Cout
+        C = max(fci, fco)
         self.shape_in = (hr, wc, fci)
         self.shape_out = (hr, wc, fco)
-        self._C = Cin
+        self._C = C
         dtype = np.dtype(dtype)
 
         def padded(a, shape):
@@ -479,20 +432,8 @@ class LayerStack:
             out[tuple(slice(0, s) for s in a.shape)] = a
             return out
 
-        def pad_in(w):
-            """(3,3,fci,fco) → (3,3,Cin,Cout), applying the optional
-            input-lane permutation (piece-major trunk layouts)."""
-            out = np.zeros((3, 3, Cin, Cout), dtype)
-            if in_perm is None:
-                out[:, :, :w.shape[2], :w.shape[3]] = w
-            else:
-                valid = np.asarray(in_perm) >= 0
-                out[:, :, valid, :w.shape[3]] = \
-                    w[:, :, np.asarray(in_perm)[valid], :]
-            return out
-
         wmain = np.stack([
-            pad_in(s2d_conv_weights_rect(l["w"], FR, FC))
+            padded(s2d_conv_weights_rect(l["w"], FR, FC), (3, 3, C, C))
             for l in layers])
         bias = np.stack([padded(np.tile(np.asarray(l["bias"]), FR * FC),
                                 (C,)) for l in layers])
@@ -508,11 +449,11 @@ class LayerStack:
             _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
             wband = np.stack([
                 np.stack([
-                    pad_in(s2d_conv_weights_rect(np.asarray(l[nm]),
-                                                 FR, FC))
+                    padded(s2d_conv_weights_rect(np.asarray(l[nm]),
+                                                 FR, FC), (3, 3, C, C))
                     @ _fold.get(i, np.eye(C, dtype=np.float32))
                     for i, nm in enumerate(_BAND_SOURCES)])
-                for l in layers])             # (R, 8, 3, 3, Cin, Cout)
+                for l in layers])             # (R, 8, 3, 3, C, C)
         else:
             wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
 
@@ -526,8 +467,7 @@ class LayerStack:
         kern = functools.partial(
             _stack_kernel, R=R, hr=hr, wc=wc, co=co,
             groups=groups, act=act, learned=learned, acc_dtype=dtype,
-            pool=pool, use_gn=use_gn, use_act=use_act,
-            split=tuple(split) if rect else (), rect=rect)
+            pool=pool, use_gn=use_gn, use_act=use_act)
 
         in_specs = [
             pl.BlockSpec((1,) + wmain.shape[1:],
@@ -541,24 +481,12 @@ class LayerStack:
             pl.BlockSpec(memory_space=pltpu.VMEM),   # gn bias
             pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix
             pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix.T
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # perms+masks
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lane masks
         ]
-        out_shape = jax.ShapeDtypeStruct((hr + 2, wc + 2, Cout), dtype)
+        out_shape = jax.ShapeDtypeStruct((hr + 2, wc + 2, C), dtype)
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
-        in_dtype = np.dtype(in_dtype) if in_dtype is not None else dtype
-        assert in_dtype == dtype or rect, \
-            "reduced-precision input scratch is for rect stacks only"
-        # wide (multi-lane-tile) memrefs are tiled (8,128) on the last
-        # two dims, and sliced DMAs must keep every dim 8/128-aligned —
-        # so split trunks pad the haloed width up to a multiple of 8
-        # (pieces arrive padded likewise; loads are unaffected)
-        wcp = -(-(wc + 2) // 8) * 8 if rect else wc + 2
-        self._wcp = wcp
-        scratch = [pltpu.VMEM((hr + 2, wcp, Cin), in_dtype),
+        scratch = [pltpu.VMEM((hr + 2, wc + 2, C), dtype),
                    pltpu.SemaphoreType.DMA(())]
-        if rect:
-            # rect stacks write into their own output scratch
-            scratch.insert(1, pltpu.VMEM((hr + 2, wc + 2, Cout), dtype))
         pool_consts = ()
         if pool:
             hr2, wc2 = hr // 2, wc // 2
@@ -585,8 +513,7 @@ class LayerStack:
             scratch.append(pltpu.VMEM((hr2 + 2, wc2 + 2, C), dtype))
             scratch.append(pltpu.SemaphoreType.DMA(()))
 
-        nx = len(split) if rect else 1
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * nx  # x (HBM)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # x (HBM)
         # scratch order: src, [scr2], sem, [sem2] — match kernel unpack
         if pool:
             scratch = [scratch[0], scratch[2], scratch[1], scratch[3]]
@@ -605,16 +532,15 @@ class LayerStack:
         )
         self._hr, self._wc = hr, wc
         self.pool = pool
-        self.rect = rect
         self._pool_consts = pool_consts
         # kept as NumPy: LayerStack may be built lazily inside a jit
         # trace (fast_path defers the host-side weight transforms), and
         # jnp constants created there would leak tracers across traces.
         # On TPU the conv weights are stored in bf16 — the step is
-        # weight-streaming-bound (~190 MB/step of band weights at f32
-        # across the level stacks) and default MXU precision truncates
-        # f32 operands to bf16 anyway, so this halves the bandwidth
-        # bit-identically. Interpret mode (CPU tests) keeps exact f32.
+        # weight-streaming-bound at f32 across the level stacks, and
+        # default MXU precision truncates f32 operands to bf16 anyway,
+        # so this halves the bandwidth bit-identically. Interpret mode
+        # (CPU tests) keeps exact f32.
         wdt = np.dtype(jnp.bfloat16) if not interpret else dtype
         self._consts = (wmain.astype(wdt), wband.astype(wdt),
                         bias.astype(dtype), gns.astype(dtype),
@@ -634,15 +560,6 @@ class LayerStack:
         XLA pad/slice round-trips). Returns the raw haloed output, plus
         the haloed pooled input when ``pool``."""
         return self._call(*self._consts, *self._pool_consts, xh)
-
-    def call_split(self, *pieces):
-        """Split stacks: ``pieces`` are pre-HALOED (hr+2, wc+2, slot_i)
-        lane ranges of the trunk (each slot 128-aligned, zero halos);
-        the kernel DMAs each into its lane slice of the scratch — the
-        lane concat happens in VMEM. Returns the raw haloed
-        (hr+2, wc+2, Cout)."""
-        assert self.rect
-        return self._call(*self._consts, *pieces)
 
     def __call__(self, x6):
         """x6: (hr, wc, fr·fc·Ci) — batch-free block-layout activation."""
