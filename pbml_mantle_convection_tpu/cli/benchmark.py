@@ -77,8 +77,14 @@ def main(argv=None):
     grid = Grid(H=args.H, W=args.W,
                 aspect=(args.W - 2) / (args.H - 2), dtype=str(dtype))
     pp = SimParams(3.0, 1e8, 10.0)
-    stepper = TimeStepper(grid=grid, params=pp,
-                          apply_fn=lambda xx: model.apply(params, xx),
+    # rollout-optimized executor where the config allows it (the same
+    # path bench.py ships; falls back inside FastNewFluidNet otherwise)
+    apply_fn = lambda xx: model.apply(params, xx)
+    if (args.network == "newfluidnet" and args.r_p in ("learned", "zeros")
+            and args.kernel == 5):
+        from ..models.fast_path import FastNewFluidNet
+        apply_fn = FastNewFluidNet(model, params, args.H, args.W)
+    stepper = TimeStepper(grid=grid, params=pp, apply_fn=apply_fn,
                           cn_max=0.99, dtype=dtype)
     engine = SimEngine(grid=grid, params=pp, stepper=stepper, dtype=dtype)
     T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
@@ -86,7 +92,9 @@ def main(argv=None):
     state = engine.init_state(T0)
     from ..utils.jit import tpu_jit
     multi = tpu_jit(engine.multi_step, static_argnums=1)
-    state, _ = multi(state, 10)
+    # warm with the measured step count: static_argnums means a
+    # different n would recompile inside the timed region
+    state, _ = multi(state, args.steps)
     jax.block_until_ready(state.T)
     t0 = time.perf_counter()
     state, _ = multi(state, args.steps)
