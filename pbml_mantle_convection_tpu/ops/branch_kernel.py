@@ -30,8 +30,10 @@ Band decomposition (k=5, bc=1 ⇒ band width 2):
 
 Assembly is concatenation over block rows/cols plus lane mask-selects
 (Mosaic has no scatter and no lane-dim reshapes); GroupNorm statistics
-run as 0/1-matrix matmuls; the exact-GELU activation uses XLA's own
-float32 erf polynomial (Mosaic has no erf primitive). The grid
+run as 0/1-matrix matmuls; the default in-kernel GELU is a divide-free
+odd minimax erf fit at bf16-grade accuracy (Mosaic has no erf
+primitive; ``gelu_erf_kernel`` provides XLA's own f32 erf polynomial
+for ``exact_gelu``). The grid
 dimension streams each layer's weights with Pallas' automatic double
 buffering while x/out stay in HBM (whole-buffer DMAs — Mosaic requires
 sliced DMA regions be 128-aligned on lanes, so the zero halo travels
