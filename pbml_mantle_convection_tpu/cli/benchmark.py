@@ -28,6 +28,9 @@ def build_parser():
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--raw-module", action="store_true",
+                   help="time the plain Flax apply instead of the "
+                        "rollout-optimized executor")
     return p
 
 
@@ -53,7 +56,17 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(0), x)
 
     if args.what == "inference":
-        fwd = jax.jit(lambda p, x: model.apply(p, x))
+        # measure the optimized executor where it applies (--raw-module
+        # measures the plain Flax apply, the reference harness analogue)
+        if (not args.raw_module and args.network == "newfluidnet"
+                and args.r_p in ("learned", "zeros")
+                and args.kernel == 5):
+            from ..models.fast_path import FastNewFluidNet
+            from ..utils.jit import tpu_jit
+            fast = FastNewFluidNet(model, params, args.H, args.W)
+            fwd = tpu_jit(lambda p, x: fast(x))
+        else:
+            fwd = jax.jit(lambda p, x: model.apply(p, x))
         out = fwd(params, x)
         jax.block_until_ready(jax.tree.leaves(out)[0])
         t0 = time.perf_counter()
