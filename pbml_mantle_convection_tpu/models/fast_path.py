@@ -255,22 +255,6 @@ class FastNewFluidNet:
             self.mk_stem = None
             self.mk_branches = None
 
-            # f4p merge-1 weights: the block-layout trunk assembly
-            # (_finish_f4p) produces piece-major lanes (p, a4, b, cp);
-            # fold the inverse permutation to the standard s2d order
-            # (a4, b, (p, cp)) into the conv's input dim host-side
-            c_ps = [model.c_h] * model.levels + [model.c_i]
-            c_cat = sum(c_ps)
-            offs = np.cumsum([0] + c_ps)
-            idx = np.empty(f * f * c_cat, np.int64)
-            o = 0
-            for pi, cp in enumerate(c_ps):
-                for blk in range(f * f):
-                    for cc in range(cp):
-                        idx[o] = blk * c_cat + offs[pi] + cc
-                        o += 1
-            w1 = (self.merge1["w_s2d"] if learned else self.merge1[0])
-            self._merge1_w_f4p = jnp.asarray(np.asarray(w1)[:, :, idx, :])
 
     def _build_megakernel(self):
         from ..ops.branch_kernel import LayerStack
@@ -302,10 +286,7 @@ class FastNewFluidNet:
                 learned=learned, dtype=self.dtype, interpret=interp,
                 pool=l < m.levels - 1))
 
-        if not learned:
-            self.mkm1 = None
-            return
-        # ---- merge stage as three kernels (learned path) ----
+        # ---- merge stage as three kernels ----
         # the trunk is fed as lane-range pieces (VMEM lane concat);
         # the merge-1 conv carries the piece-major→standard input-lane
         # permutation; GN0+GELU ride merge-1's tail; merges 2/3 are
@@ -314,11 +295,15 @@ class FastNewFluidNet:
         dtype = self.dtype
 
         def raw_merge(tree, gn_tree=None):
-            d = {"w": np.asarray(tree["conv"]["kernel"], dtype),
-                 "bias": np.asarray(tree["learnable_bias"],
-                                    dtype)[0, 0, 0]}
-            for nm in _BLC_ORDER:
-                d[nm] = np.asarray(tree[nm]["kernel"], dtype)
+            if learned:
+                d = {"w": np.asarray(tree["conv"]["kernel"], dtype),
+                     "bias": np.asarray(tree["learnable_bias"],
+                                        dtype)[0, 0, 0]}
+                for nm in _BLC_ORDER:
+                    d[nm] = np.asarray(tree[nm]["kernel"], dtype)
+            else:
+                d = {"w": np.asarray(tree["kernel"], dtype),
+                     "bias": np.asarray(tree["bias"], dtype)}
             co = d["w"].shape[-1]
             if gn_tree is not None:
                 d["gn_scale"] = np.asarray(gn_tree["scale"], dtype)
@@ -334,16 +319,17 @@ class FastNewFluidNet:
         # (ops/merge_kernel.py): consumes the RAW haloed branch outputs
         self.mkm1 = TrunkStack(
             raw_merge(p["conv_1"], p["gn_0"]["GroupNorm_0"]),
-            c_ps, H, W, m.levels, k, act=act, learned=True,
+            c_ps, H, W, m.levels, k, act=act, learned=learned,
             dtype=self.dtype, interpret=interp,
             groups=max(1, m.c_h // 4))
         self.mkm2 = LayerStack(
-            [raw_merge(p["conv_2"])], H, W, k, act=act, learned=True,
-            dtype=self.dtype, interpret=interp, use_gn=False)
+            [raw_merge(p["conv_2"])], H, W, k, act=act,
+            learned=learned, dtype=self.dtype, interpret=interp,
+            use_gn=False)
         self.mkm3 = LayerStack(
-            [raw_merge(p["conv_3"])], H, W, k, act=act, learned=True,
-            dtype=self.dtype, interpret=interp, use_gn=False,
-            use_act=False)
+            [raw_merge(p["conv_3"])], H, W, k, act=act,
+            learned=learned, dtype=self.dtype, interpret=interp,
+            use_gn=False, use_act=False)
 
     # ------------------------------------------------------------------
     # band fix-up machinery
@@ -561,23 +547,7 @@ class FastNewFluidNet:
 
         if self.use_megakernel and B == 1 and mask0 is None:
             b0_raw, raw_outs, x6r = self._megakernel_branches(x, H, W)
-            if isinstance(self.merge1, dict):
-                return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
-            from ..ops.s2d import depth_to_space_rect
-            from ..ops.branch_kernel import FR, FC
-            m = self.m
-            st0 = self.mk_branches[0]
-            b0_rect = b0_raw[1:st0._hr + 1, 1:st0._wc + 1,
-                             :st0.shape_out[-1]][None]
-            resized = []
-            for l, y_h in enumerate(raw_outs, start=1):
-                stack = self.mk_branches[l]
-                y6 = y_h[1:stack._hr + 1, 1:stack._wc + 1,
-                         :stack.shape_out[-1]][None]
-                yd = depth_to_space_rect(y6, FR, FC, m.c_h)
-                resized.append(resize_bicubic_nhwc(yd, (H, W)))
-            return self._finish_f4p(b0_rect, resized, x, x6r, H, W,
-                                    count0)
+            return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
 
         x6 = space_to_depth(xp, f)
 
@@ -649,45 +619,6 @@ class FastNewFluidNet:
                 raw_outs.append(y_h)
         return b0_raw, raw_outs, x6r
 
-    def _finish_f4p(self, b0_rect, resized, x, x6r, H, W, count0):
-        """Merge stage fed straight from block layout.
-
-        rect(2,4) → square(4,4) space-to-depth is a pure lane regroup:
-        ``concat([xr[0::2], xr[1::2]], lanes)`` — so the merge trunk
-        input is assembled with strided slices + ONE lane concat instead
-        of a 23 MB dense concat + full s2d relayout. The resulting lane
-        order is piece-major ("f4p"); the merge-1 conv weights carry the
-        inverse permutation on their input dim (host-side, free), and
-        the merge-1 boundary bands take their dense edge slabs from the
-        pieces directly. merge-1's output is standard f=4 s2d, so
-        everything downstream (GN0, merges 2/3, head) is shared."""
-        m = self.m
-        f = self.f
-
-        def rect_to_f4(xr):
-            return jnp.concatenate([xr[:, 0::2], xr[:, 1::2]], axis=-1)
-
-        pieces = ([rect_to_f4(b0_rect)]
-                  + [space_to_depth(r, f) for r in resized]
-                  + [rect_to_f4(x6r)])
-        y6p = jnp.concatenate(pieces, axis=-1)
-
-        if isinstance(self.merge1, dict):
-            spec = self.merge1
-            y6 = conv_s2d(y6p, self._merge1_w_f4p)
-            slabs = self._piece_slabs(b0_rect, resized, x, spec["k"],
-                                      H, W)
-            bands = self._bands_from_slabs(
-                slabs, spec["c_o"], spec["k"], spec["w_corners"],
-                spec["w_tb"], spec["w_lr"])
-            y6 = self._overwrite_bands(y6, bands, spec["c_o"], H, W)
-            y6 = y6 + jnp.tile(spec["bias"][0, 0, 0], f * f)
-        else:
-            _, b1, c1 = self.merge1
-            y6 = conv_s2d(y6p, self._merge1_w_f4p) + jnp.tile(b1, f * f)
-        y6, c_o = self._merge_tail(y6, None, count0, H, W)
-        return self._head(y6, c_o, H, W)
-
     def _finish_mergek(self, b0_raw, raw_outs, x6r, H, W):
         """Merge stage as three Pallas kernels (learned path).
 
@@ -713,7 +644,8 @@ class FastNewFluidNet:
         y2 = self.mkm2.call_raw(y1)
         y3 = self.mkm3.call_raw(y2)
         hr, wc = self.mkm3._hr, self.mkm3._wc
-        c_o = self.merge3["c_o"]
+        c_o = (self.merge3["c_o"] if isinstance(self.merge3, dict)
+               else self.merge3[2])
         psi6 = y3[1:hr + 1, 1:wc + 1, :FR * FC * c_o][None]
         y = depth_to_space_rect(psi6, FR, FC, c_o)[:, :H, :W, :]
         y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
@@ -728,36 +660,6 @@ class FastNewFluidNet:
         p = y[..., 1] if m.p_pred else None
         u, v = curl_head_padded(a)
         return u, v, p
-
-    def _piece_slabs(self, b0_rect, resized, x, k, H, W):
-        """Dense edge slabs (top, bottom, left, right; width pad) of the
-        channel-concatenated merge input, assembled per piece — the
-        branch-0/x pieces live in rect block layout and only their edge
-        blocks are densified."""
-        from ..ops.s2d import depth_to_space_rect
-        from ..ops.branch_kernel import FR, FC
-        pad = k + 1 if k == 5 else k
-        nbr = -(-pad // FR)
-        nbc = -(-pad // FC)
-
-        def rect_slabs(xr, c):
-            top = depth_to_space_rect(xr[:, :nbr], FR, FC, c)[:, :pad]
-            bot = depth_to_space_rect(xr[:, -nbr:], FR, FC, c)[:, -pad:]
-            left = depth_to_space_rect(xr[:, :, :nbc], FR, FC,
-                                       c)[:, :, :pad]
-            rgt = depth_to_space_rect(xr[:, :, -nbc:], FR, FC,
-                                      c)[:, :, -pad:]
-            return top, bot, left, rgt
-
-        def dense_slabs(xd):
-            return (xd[:, :pad], xd[:, H - pad:],
-                    xd[:, :, :pad], xd[:, :, W - pad:])
-
-        per_piece = ([rect_slabs(b0_rect, self.m.c_h)]
-                     + [dense_slabs(r) for r in resized]
-                     + [dense_slabs(x)])
-        return tuple(jnp.concatenate(s, axis=-1)
-                     for s in zip(*per_piece))
 
     def _finish(self, branches_dense, x, H, W, mask0, count0):
         m = self.m
