@@ -213,21 +213,47 @@ class FastNewFluidNet:
         # ---- whole-branch megakernel path (ops/branch_kernel.py) ----
         # the kernel uses its own fr=2 x fc=4 block layout (8C lanes —
         # full 128-wide MXU at C=16); independent of this object's f
+        explicit_mk = megakernel is True
         if megakernel is None:
             megakernel = jax.default_backend() == "tpu"
 
-        def _mk_grids_ok():
+        def _mk_unsupported():
+            """Megakernel precondition check (mirrors the LayerStack/
+            TrunkStack asserts, evaluated eagerly): returns the reason
+            string when the config can't run the kernels, else None."""
             from ..ops.branch_kernel import FR, FC
+            if k != 5:
+                return f"kernel={k} (needs 5)"
+            if model.factor != 2:
+                return f"factor={model.factor} (needs 2)"
+            if conv_bf16 or f != 4:
+                return "conv_bf16/f override"
+            if getattr(model, "bc_x", 1) != 1 or \
+                    getattr(model, "bc_y", 1) != 1:
+                return "bc_x/bc_y != 1"
+            # TrunkStack packs each trunk piece into 128 lanes and
+            # LayerStack pads channels to a common lane size — channel
+            # counts above 16 exceed the 8·C = 128 lane budget
+            if FR * FC * max(model.c_h, model.c_i) > 128:
+                return (f"c_h={model.c_h}/c_i={model.c_i} "
+                        f"(needs 8*max(c_h, c_i) <= 128)")
             for l in range(model.levels):
                 Hl, Wl = H // 2 ** l, W // 2 ** l
-                if (Hl % FR or Wl % FC or Hl // FR < 3 or Wl // FC < 3):
-                    return False
-            return True
+                hr, wc = Hl // FR, -(-Wl // FC)
+                if Hl % FR or Wl % FC or hr < 3 or wc < 3:
+                    return f"level {l} grid {Hl}x{Wl} (rows must be " \
+                        f"even, cols divisible by 4, >=3 block " \
+                        f"rows/cols)"
+                if l < model.levels - 1 and Hl % (2 * FR):
+                    return f"level {l} rows {Hl} not poolable"
+            return None
 
-        self.use_megakernel = bool(
-            megakernel and k == 5 and not conv_bf16 and f == 4
-            and model.factor == 2 and getattr(model, "bc_x", 1) == 1
-            and getattr(model, "bc_y", 1) == 1 and _mk_grids_ok())
+        reason = _mk_unsupported()
+        if explicit_mk and reason is not None:
+            raise ValueError(
+                f"megakernel=True but the config is unsupported: "
+                f"{reason}")
+        self.use_megakernel = bool(megakernel and reason is None)
         if self.use_megakernel:
             def raw(tree):
                 conv = tree["conv"]

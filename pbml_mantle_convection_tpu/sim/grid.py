@@ -15,6 +15,7 @@ import dataclasses
 from functools import cached_property
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -32,6 +33,15 @@ class Grid:
     W: int = 506
     aspect: float = 4.0
     dtype: str = "float64"
+
+    @property
+    def _jdtype(self) -> str:
+        """The requested dtype, degraded gracefully to float32 when JAX
+        x64 is disabled (avoids per-array truncation warnings, e.g. in
+        the driver's non-x64 multichip dryrun)."""
+        if self.dtype == "float64" and not jax.config.jax_enable_x64:
+            return "float32"
+        return self.dtype
 
     @property
     def n_layers(self) -> int:
@@ -55,14 +65,14 @@ class Grid:
         """(H, W) x-coordinate of cell centres."""
         x = self._centers(self.W, self.aspect)
         return jnp.asarray(np.broadcast_to(x[None, :], (self.H, self.W)),
-                           dtype=self.dtype)
+                           dtype=self._jdtype)
 
     @cached_property
     def yc(self) -> jnp.ndarray:
         """(H, W) y-coordinate of cell centres (0 = bottom)."""
         y = self._centers(self.H, 1.0)
         return jnp.asarray(np.broadcast_to(y[:, None], (self.H, self.W)),
-                           dtype=self.dtype)
+                           dtype=self._jdtype)
 
     @cached_property
     def sdf(self) -> jnp.ndarray:
@@ -70,7 +80,7 @@ class Grid:
         (advect_wi_gaia.py:566-570)."""
         m = np.zeros((self.H, self.W))
         m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 1.0
-        return jnp.asarray(m, dtype=self.dtype)
+        return jnp.asarray(m, dtype=self._jdtype)
 
     @cached_property
     def sdf2(self) -> jnp.ndarray:
@@ -78,7 +88,7 @@ class Grid:
         (advect_wi_gaia.py:571-575)."""
         m = np.ones((self.H, self.W))
         m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0.0
-        return jnp.asarray(m, dtype=self.dtype)
+        return jnp.asarray(m, dtype=self._jdtype)
 
     @cached_property
     def pos(self) -> jnp.ndarray:

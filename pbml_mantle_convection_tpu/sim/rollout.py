@@ -68,10 +68,18 @@ def rollout_jax(
     snaps = []
     done = 0
 
-    # true per-step latency sample (blocking dispatch per step)
+    # compile every distinct chunk size outside the timed windows (AOT
+    # lower+compile — does not advance the state), so no wall-clock
+    # window amortizes compile time into TS_vec
     n_timed = min(timed_steps, n_steps)
-    if n_timed > 0:
-        jitted(state, 1)[0].T.block_until_ready()  # compile outside timing
+    sizes = {1} if n_timed > 0 else set()
+    d = n_timed
+    while d < n_steps:
+        k = min(snapshot_every or (n_steps - d), n_steps - d)
+        sizes.add(k)
+        d += k
+    for k in sorted(sizes):
+        jitted.lower(state, k).compile()
     for _ in range(n_timed):
         t0 = time.time()
         state, tr = jitted(state, 1)

@@ -86,10 +86,12 @@ def parse_loss_log(path: str) -> List[dict]:
 
 
 def best_epoch_from_log(path: str, column: int = 0) -> int:
-    """Rollout-time model selection: last epoch in the log
-    (advect_wi_gaia.py:416, 427)."""
+    """Rollout-time model selection: the reference appends
+    ``len(loss_u) - 1`` per run dir and loads ``last_epochs[-1] - 1``
+    (advect_wi_gaia.py:416, 426) — i.e. the SECOND-to-last logged epoch
+    when no explicit epoch is given."""
     entries = parse_loss_log(path)
-    return entries[-1]["epoch"] if entries else 0
+    return max(0, len(entries) - 2)
 
 
 class Trainer:

@@ -44,7 +44,9 @@ def test_trainer_end_to_end(tmp_path):
     assert log[0]["epoch"] == 0 and log[1]["epoch"] == 1
     # MultiStepLR: milestone at 1 → lr halves
     assert log[1]["lr"] == log[0]["lr"] / 2
-    assert best_epoch_from_log(tr.log_path) == 1
+    # reference semantics: second-to-last logged epoch
+    # (advect_wi_gaia.py:416, 426 — last_epochs[-1] - 1)
+    assert best_epoch_from_log(tr.log_path) == 0
     # checkpoints exist
     assert os.path.exists(os.path.join(tr.nn_dir, "0_fluidnet_uvp.ckpt"))
     assert os.path.exists(os.path.join(tr.nn_dir, "1_fluidnet_uvp.ckpt"))
