@@ -137,7 +137,8 @@ class FastNewFluidNet:
     def __init__(self, model, params, H: int, W: int, f: int = 4,
                  dtype=None, conv_bf16: bool = False,
                  approx_gelu: bool = False, megakernel=None,
-                 exact_gelu: bool = False):
+                 exact_gelu: bool = False,
+                 mk_tpu_numerics: bool = False):
         """``conv_bf16``/``approx_gelu`` enable the fast-inexact mode:
         convolution inputs/weights in bfloat16 (f32 accumulation) and
         tanh-approximate GELU. Deviates from the reference's float64
@@ -153,9 +154,11 @@ class FastNewFluidNet:
         ops/branch_kernel.py), a merge-trunk kernel that upsamples the
         coarse branches in VMEM and runs merge-1 + GN0
         (ops/merge_kernel.py), and two thin merge stacks. Applies when
-        B=1, k=5, factor=2, f=4 and the pooled grid chain stays
-        block-divisible — falls back to the standard fast path
-        otherwise. Exact to f32 round-off vs the module (CPU tests);
+        B=1, k=5, factor=2, f=4, even row counts and ≥3 block
+        rows/cols at every pyramid level — widths need not divide 4
+        (ragged last block col, ops/branch_kernel._ragged_plan; the
+        reference's 128×506 grid runs the kernels). Falls back to the
+        standard fast path otherwise. Exact to f32 round-off vs the module (CPU tests);
         on TPU everything runs at the MXU's default bf16 precision,
         like the standard path's XLA convolutions."""
         self.m = model
@@ -163,6 +166,11 @@ class FastNewFluidNet:
         self.H, self.W = H, W
         self.conv_bf16 = conv_bf16
         self.approx_gelu = approx_gelu
+        # mk_tpu_numerics=True makes the CPU interpret kernels use the
+        # TPU storage/activation numerics (bf16 conv weights + the
+        # divide-free GELU fit) so CI can bound the shipped TPU path's
+        # deviation without a chip; no effect on the TPU backend.
+        self.mk_tpu_numerics = mk_tpu_numerics
         self.exact_gelu = exact_gelu
         p = params["params"] if "params" in params else params
         dtype = dtype or np.asarray(
@@ -237,13 +245,23 @@ class FastNewFluidNet:
             if FR * FC * max(model.c_h, model.c_i) > 128:
                 return (f"c_h={model.c_h}/c_i={model.c_i} "
                         f"(needs 8*max(c_h, c_i) <= 128)")
+            # on real TPUs Mosaic only lowers the pool/assembly shape
+            # casts when the lane dim is exactly the native 128 (c_h=8
+            # → 64 lanes fails with "unsupported shape cast"); interpret
+            # mode (CPU tests) has no such restriction
+            if (jax.default_backend() == "tpu"
+                    and FR * FC * model.c_h != 128):
+                return (f"c_h={model.c_h} (TPU Mosaic needs the 8*c_h "
+                        f"lane dim == 128)")
+            # widths need NOT divide 4: ragged last block cols are
+            # handled in-kernel (ops/branch_kernel._ragged_plan) — the
+            # reference's own 128×506 production grid runs the kernels
             for l in range(model.levels):
                 Hl, Wl = H // 2 ** l, W // 2 ** l
                 hr, wc = Hl // FR, -(-Wl // FC)
-                if Hl % FR or Wl % FC or hr < 3 or wc < 3:
+                if Hl % FR or hr < 3 or wc < 3:
                     return f"level {l} grid {Hl}x{Wl} (rows must be " \
-                        f"even, cols divisible by 4, >=3 block " \
-                        f"rows/cols)"
+                        f"even, >=3 block rows/cols)"
                 if l < model.levels - 1 and Hl % (2 * FR):
                     return f"level {l} rows {Hl} not poolable"
             return None
@@ -289,8 +307,10 @@ class FastNewFluidNet:
         H, W = self.H, self.W
         learned = m.r_p == "learned"
         interp = jax.default_backend() != "tpu"   # Mosaic needs TPU
+        tpu_num = not interp or self.mk_tpu_numerics
+        wbf16 = True if (interp and self.mk_tpu_numerics) else None
         act = self.act
-        if not interp and m.act_fn == "gelu" and not self.approx_gelu:
+        if tpu_num and m.act_fn == "gelu" and not self.approx_gelu:
             # Mosaic has no erf primitive. Default: the divide-free
             # bf16-grade fit (|err| 1.5e-4 — an order below the MXU's
             # default-precision conv noise, ~2x fewer VPU ops);
@@ -301,7 +321,8 @@ class FastNewFluidNet:
                    else gelu_fast_kernel)
         self.mk_stem = LayerStack(
             self._mk_raw_stem, H, W, k, act=act,
-            learned=learned, dtype=self.dtype, interpret=interp)
+            learned=learned, dtype=self.dtype, interpret=interp,
+            weights_bf16=wbf16)
         self.mk_branches = []
         for l in range(m.levels):
             Hl, Wl = H // (2 ** l), W // (2 ** l)
@@ -310,7 +331,7 @@ class FastNewFluidNet:
             self.mk_branches.append(LayerStack(
                 self._mk_raw_branches[l], Hl, Wl, k, act=act,
                 learned=learned, dtype=self.dtype, interpret=interp,
-                pool=l < m.levels - 1))
+                pool=l < m.levels - 1, weights_bf16=wbf16))
 
         # ---- merge stage as three kernels ----
         # the trunk is fed as lane-range pieces (VMEM lane concat);
@@ -347,15 +368,15 @@ class FastNewFluidNet:
             raw_merge(p["conv_1"], p["gn_0"]["GroupNorm_0"]),
             c_ps, H, W, m.levels, k, act=act, learned=learned,
             dtype=self.dtype, interpret=interp,
-            groups=max(1, m.c_h // 4))
+            groups=max(1, m.c_h // 4), weights_bf16=wbf16)
         self.mkm2 = LayerStack(
             [raw_merge(p["conv_2"])], H, W, k, act=act,
             learned=learned, dtype=self.dtype, interpret=interp,
-            use_gn=False)
+            use_gn=False, weights_bf16=wbf16)
         self.mkm3 = LayerStack(
             [raw_merge(p["conv_3"])], H, W, k, act=act,
             learned=learned, dtype=self.dtype, interpret=interp,
-            use_gn=False, use_act=False)
+            use_gn=False, use_act=False, weights_bf16=wbf16)
 
     # ------------------------------------------------------------------
     # band fix-up machinery
@@ -571,7 +592,7 @@ class FastNewFluidNet:
         mask0 = s2d_valid_mask(H, W, f, xp.dtype)
         count0 = float(H * W)
 
-        if self.use_megakernel and B == 1 and mask0 is None:
+        if self.use_megakernel and B == 1:
             b0_raw, raw_outs, x6r = self._megakernel_branches(x, H, W)
             return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
 
@@ -618,6 +639,11 @@ class FastNewFluidNet:
         from ..ops.branch_kernel import FR, FC
         if self.mk_stem is None:
             self._build_megakernel()
+        Wp = -(-W // FC) * FC
+        if Wp != W:
+            # ragged width: zero-pad to the block multiple — the pad
+            # lane groups stay exact zeros through every kernel
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
         x6r = space_to_depth_rect(x, FR, FC)
         # raw haloed chaining: each kernel's output keeps its zero halo,
         # and the factor-2 pool of the next level's input is the branch

@@ -43,9 +43,12 @@ Band semantics verified against the Flax module by
 tests/test_branch_kernel.py (same standard as tests/test_fast_path.py).
 
 Supported (the flagship rollout configuration): B=1, k=5, bc=1,
-r_p in {learned, zeros}, H % 2 == 0, W % 4 == 0, ≥3 block rows/cols,
-no dropout/spectral. Callers fall back to the standard fast path
-otherwise. The merge stage's trunk kernel (in-kernel bicubic + the
+r_p in {learned, zeros}, H % 2 == 0, any W ≥ 9 (a non-4-divisible
+width — e.g. the reference's production 128×506 grid and its pooled
+253/126/63/31 chain — runs on a ragged last block column whose pad
+lane groups carry exact zeros; see ``_ragged_plan``), ≥3 block
+rows/cols, no dropout/spectral. Callers fall back to the standard
+fast path otherwise. The merge stage's trunk kernel (in-kernel bicubic + the
 87-channel merge conv) lives in ops/merge_kernel.py and shares this
 module's _fluid_layer_op/_pool_op.
 Reference: pytorch_networks_convae.py:1022-1065 (BLC stitch),
@@ -146,6 +149,108 @@ def _group_mats(co, groups, C):
     return M, np.ascontiguousarray(M.T)
 
 
+def _ragged_plan(W: int, co: int, C: int):
+    """Static plan for a ragged last block column (W % FC != 0).
+
+    The field is laid out on wc = ceil(W / FC) block cols; dense cols
+    ≥ W are zero pad lanes (groups b ≥ w_rem of block col wc-1). The
+    right-edge band outputs (dense cols W-2, W-1) and their conv
+    centers (W-4, W-3) then no longer share one block column, so the
+    single pre-folded lane permutation of the aligned path splits into:
+
+    * per distinct center block col ``e`` — one folded weight copy
+      whose output lanes land on the *target* lane groups;
+    * per target block col ``t`` — select masks (one per contributing
+      eval) and a keep mask for the untouched lanes.
+
+    Returns None when W is aligned, else a dict of numpy constants +
+    static indices consumed by LayerStack/TrunkStack.
+    """
+    wc = -(-W // FC)
+    w_rem = W - (wc - 1) * FC
+    if w_rem == FC:
+        return None
+    outs = (W - 2, W - 1)
+    evals = tuple(sorted({(o - 2) // FC for o in outs}))
+    targets = tuple(sorted({o // FC for o in outs}))
+    folds = {e: np.zeros((C, C), np.float32) for e in evals}
+    sels = {}
+    for o in outs:
+        e, s = divmod(o - 2, FC)
+        t, d = divmod(o, FC)
+        m = sels.setdefault((e, t), np.zeros((C,), np.float32))
+        for a in range(FR):
+            for c in range(co):
+                folds[e][(a * FC + s) * co + c, (a * FC + d) * co + c] = 1.0
+                m[(a * FC + d) * co + c] = 1.0
+    keeps = {}
+    for t in targets:
+        u = np.zeros((C,), np.float32)
+        for e in evals:
+            if (e, t) in sels:
+                u = np.maximum(u, sels[(e, t)])
+        keeps[t] = 1.0 - u
+    # keep-mask for valid lane groups of the last block col (pad lane
+    # groups b >= w_rem zeroed each layer — the stored field keeps
+    # exact zeros on pad lanes, so GroupNorm statistics and downstream
+    # consumers never see garbage)
+    pad_mask = np.zeros((C,), np.float32)
+    for a in range(FR):
+        for b in range(w_rem):
+            lo = (a * FC + b) * co
+            pad_mask[lo:lo + co] = 1.0
+    return dict(wc=wc, w_rem=w_rem, evals=evals, targets=targets,
+                folds=folds, sels=sels, keeps=keeps, pad_mask=pad_mask)
+
+
+def _band_slots(plan, P23, P01):
+    """Static band-weight slot list [(source_name, fold_or_None), …]
+    for the learned path — the aligned 8-slot layout, or the plan's
+    per-eval expanded right-edge slots."""
+    if plan is None:
+        _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
+        return [(nm, _fold.get(i)) for i, nm in enumerate(_BAND_SOURCES)]
+    slots = [("conv_bottom", None), ("conv_top", None),
+             ("conv_left", P23)]
+    slots += [("conv_right", plan["folds"][e]) for e in plan["evals"]]
+    slots += [("conv_bottom_left", P23), ("conv_top_left", P23)]
+    slots += [("conv_bottom_right", plan["folds"][e])
+              for e in plan["evals"]]
+    slots += [("conv_top_right", plan["folds"][e])
+              for e in plan["evals"]]
+    return slots
+
+
+def _perm_rows(plan, m01, m23, pool_mask=None):
+    """Stack the lane-mask rows consumed in-kernel via ``perm_ref`` and
+    return (rows, ragged_static, pool_mask_row). Row 0/1 are the
+    aligned-path keep masks; a ragged plan appends its pad keep mask
+    and the per-target keep/select masks (static row indices)."""
+    rows = [m01, m23]
+    ragged = None
+    if plan is not None:
+        pad_row = len(rows)
+        rows.append(plan["pad_mask"])
+        tstat = []
+        for t in plan["targets"]:
+            keep_row = len(rows)
+            rows.append(plan["keeps"][t])
+            ssel = []
+            for ei, e in enumerate(plan["evals"]):
+                if (e, t) in plan["sels"]:
+                    sel_row = len(rows)
+                    rows.append(plan["sels"][(e, t)])
+                    ssel.append((ei, sel_row))
+            tstat.append((t, keep_row, tuple(ssel)))
+        ragged = dict(evals=plan["evals"], targets=tuple(tstat),
+                      pad_row=pad_row)
+    pool_mask_row = None
+    if pool_mask is not None:
+        pool_mask_row = len(rows)
+        rows.append(pool_mask)
+    return np.stack(rows), ragged, pool_mask_row
+
+
 def _lane_shift_mats(co, C):
     """0/1 (C, C) lane permutations moving column groups b∈{2,3}→{0,1}
     (P23to01) and b∈{0,1}→{2,3} (P01to23), plus the keep-masks for the
@@ -169,7 +274,8 @@ def _lane_shift_mats(co, C):
 
 def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                     gmat_t_ref, perm_ref, *, hr, wc, co, groups, act,
-                    learned, acc_dtype, use_gn=True, use_act=True):
+                    learned, acc_dtype, use_gn=True, use_act=True,
+                    W_valid=None, ragged=None, acc_ref=None):
     """One FluidLayer on haloed scratch ref(s): main conv + boundary
     bands + bias [+ GroupNorm] [+ activation].
 
@@ -194,13 +300,55 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                                precision=precision)
 
     # ---- main conv: 9 shifted s2d taps (padded scratch) ----
-    y = None
-    for p_i in range(nsrc):
-        for P in range(3):
-            for Q in range(3):
-                t = dot(srcs[p_i][P:P + hr, Q:Q + wc, :],
-                        wm(p_i, P, Q))
-                y = t if y is None else y + t
+    # With many source pieces (the merge-trunk kernel's 6), a single
+    # value-chain accumulation keeps every piece's partial live at
+    # once and Mosaic's register allocator spills tens of MB of vregs
+    # (measured 85 MB at 128×506 — over physical VMEM). ``acc_ref``
+    # (a haloed (hr+2, wc+2, ≥Cout) narrow scratch — the caller's out
+    # scratch) serializes the accumulation through memory, bounding
+    # liveness to one piece's partial.
+    if acc_ref is not None and nsrc > 1:
+        # strip-mined over block rows: the loop body (one (S, wc, C)
+        # strip through all pieces/taps) is traced ONCE, so both the
+        # Mosaic code size and the register liveness stay O(strip)
+        # instead of O(hr·wc) — at wc=127 the unrolled form took the
+        # register allocator >25 min and was killed
+        S = min(8, hr)
+
+        def strip(si, _):
+            base = si * S
+            acc = None
+            for p_i in range(nsrc):
+                for P in range(3):
+                    for Q in range(3):
+                        xs = srcs[p_i][pl.ds(base + P, S),
+                                       pl.ds(Q, wc), :]
+                        t = dot(xs, wm(p_i, P, Q))
+                        acc = t if acc is None else acc + t
+            acc_ref[pl.ds(base + 1, S), pl.ds(1, wc), :] = acc
+            return 0
+
+        lax.fori_loop(0, hr // S, strip, 0)
+        for r0 in range((hr // S) * S, hr):   # static tail rows
+            strip_one = None
+            for p_i in range(nsrc):
+                for P in range(3):
+                    for Q in range(3):
+                        t = dot(srcs[p_i][r0 + P:r0 + P + 1,
+                                          Q:Q + wc, :],
+                                wm(p_i, P, Q))
+                        strip_one = (t if strip_one is None
+                                     else strip_one + t)
+            acc_ref[r0 + 1:r0 + 2, 1:wc + 1, :] = strip_one
+        y = acc_ref[1:hr + 1, 1:wc + 1, :]
+    else:
+        y = None
+        for p_i in range(nsrc):
+            for P in range(3):
+                for Q in range(3):
+                    t = dot(srcs[p_i][P:P + hr, Q:Q + wc, :],
+                            wm(p_i, P, Q))
+                    y = t if y is None else y + t
 
     if learned:
         # every band = the same 9-tap structure with that edge's
@@ -242,40 +390,104 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
         top_row = conv_row(0, hr - 2)      # values at block row hr-2
         bot_row = conv_row(1, 1)           # values at block row 1
         left_col = conv_col(2, 0)          # band on lanes b∈{0,1}
-        right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
-        c_bl = conv_blk(4, hr - 2, 0)
-        c_br = conv_blk(5, hr - 2, wc - 1)
-        c_tl = conv_blk(6, 1, 0)
-        c_tr = conv_blk(7, 1, wc - 1)
-
         mask_b01 = perm_ref[0][None, :]     # (1, C)
         mask_b23 = perm_ref[1][None, :]
 
-        # ---- assembly: block-row concats + lane-group selects ----
-        top0 = c_bl + top_row[0:1] * mask_b23
-        topW = c_br + top_row[wc - 1:wc] * mask_b01
-        top_full = jnp.concatenate(
-            [top0, top_row[1:wc - 1], topW], axis=0)
-        bot0 = c_tl + bot_row[0:1] * mask_b23
-        botW = c_tr + bot_row[wc - 1:wc] * mask_b01
-        bot_full = jnp.concatenate(
-            [bot0, bot_row[1:wc - 1], botW], axis=0)
+        if ragged is None:
+            right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
+            c_bl = conv_blk(4, hr - 2, 0)
+            c_br = conv_blk(5, hr - 2, wc - 1)
+            c_tl = conv_blk(6, 1, 0)
+            c_tr = conv_blk(7, 1, wc - 1)
 
-        left_fix = (left_col[1:hr - 1]
-                    + y[1:hr - 1, 0] * mask_b23)
-        right_fix = (right_col[1:hr - 1]
-                     + y[1:hr - 1, wc - 1] * mask_b01)
-        ymid = jnp.concatenate(
-            [jnp.expand_dims(left_fix, 1), y[1:hr - 1, 1:wc - 1],
-             jnp.expand_dims(right_fix, 1)], axis=1)
-        y = jnp.concatenate(
-            [top_full[None], ymid, bot_full[None]], axis=0)
+            # ---- assembly: block-row concats + lane-group selects ----
+            top0 = c_bl + top_row[0:1] * mask_b23
+            topW = c_br + top_row[wc - 1:wc] * mask_b01
+            top_full = jnp.concatenate(
+                [top0, top_row[1:wc - 1], topW], axis=0)
+            bot0 = c_tl + bot_row[0:1] * mask_b23
+            botW = c_tr + bot_row[wc - 1:wc] * mask_b01
+            bot_full = jnp.concatenate(
+                [bot0, bot_row[1:wc - 1], botW], axis=0)
+
+            left_fix = (left_col[1:hr - 1]
+                        + y[1:hr - 1, 0] * mask_b23)
+            right_fix = (right_col[1:hr - 1]
+                         + y[1:hr - 1, wc - 1] * mask_b01)
+            ymid = jnp.concatenate(
+                [jnp.expand_dims(left_fix, 1), y[1:hr - 1, 1:wc - 1],
+                 jnp.expand_dims(right_fix, 1)], axis=1)
+            y = jnp.concatenate(
+                [top_full[None], ymid, bot_full[None]], axis=0)
+        else:
+            # ---- ragged last block col (_ragged_plan / _band_slots):
+            # per-eval folded right-band/corner copies, per-target
+            # keep/select lane masks (static row indices in perm_ref)
+            nE = len(ragged["evals"])
+            t_list = ragged["targets"]
+            t0 = t_list[0][0]
+            rcols = [conv_col(3 + i, e)
+                     for i, e in enumerate(ragged["evals"])]
+            c_bl = conv_blk(3 + nE, hr - 2, 0)
+            c_tl = conv_blk(4 + nE, 1, 0)
+            c_brs = [conv_blk(5 + nE + i, hr - 2, e)
+                     for i, e in enumerate(ragged["evals"])]
+            c_trs = [conv_blk(5 + 2 * nE + i, 1, e)
+                     for i, e in enumerate(ragged["evals"])]
+
+            def row_assemble(row_vals, corner0, corners):
+                parts = [corner0 + row_vals[0:1] * mask_b23]
+                if t0 > 1:
+                    parts.append(row_vals[1:t0])
+                prev = t0
+                for (t, keep_row, ssel) in t_list:
+                    if t > prev:
+                        parts.append(row_vals[prev:t])
+                    v = row_vals[t:t + 1] * perm_ref[keep_row][None, :]
+                    for (ei, sel_row) in ssel:
+                        v = v + corners[ei] * perm_ref[sel_row][None, :]
+                    parts.append(v)
+                    prev = t + 1
+                if prev < wc:
+                    parts.append(row_vals[prev:wc])
+                return jnp.concatenate(parts, axis=0)
+
+            top_full = row_assemble(top_row, c_bl, c_brs)
+            bot_full = row_assemble(bot_row, c_tl, c_trs)
+
+            left_fix = (left_col[1:hr - 1]
+                        + y[1:hr - 1, 0] * mask_b23)
+            mid_parts = [jnp.expand_dims(left_fix, 1)]
+            if t0 > 1:
+                mid_parts.append(y[1:hr - 1, 1:t0])
+            prev = t0
+            for (t, keep_row, ssel) in t_list:
+                if t > prev:
+                    mid_parts.append(y[1:hr - 1, prev:t])
+                v = y[1:hr - 1, t] * perm_ref[keep_row][None, :]
+                for (ei, sel_row) in ssel:
+                    v = v + rcols[ei][1:hr - 1] * perm_ref[sel_row][None, :]
+                mid_parts.append(jnp.expand_dims(v, 1))
+                prev = t + 1
+            if prev < wc:
+                mid_parts.append(y[1:hr - 1, prev:wc])
+            ymid = jnp.concatenate(mid_parts, axis=1)
+            y = jnp.concatenate(
+                [top_full[None], ymid, bot_full[None]], axis=0)
 
     y = y + bias_row[None, None, :]
+    if ragged is not None:
+        # zero the pad lane groups of the last block col: keeps the
+        # stored-field invariant (pads exactly 0) and makes the
+        # GroupNorm sums below exact over the valid W columns
+        pad_keep = perm_ref[ragged["pad_row"]][None, None, :]
+        y = jnp.concatenate([y[:, :wc - 1], y[:, wc - 1:] * pad_keep],
+                            axis=1)
 
     if use_gn:
         # ---- GroupNorm over original channels (matmul statistics) ----
-        n = jnp.asarray(float(H * W * (co // groups)), acc_dtype)
+        n = jnp.asarray(float(H * (W_valid if W_valid is not None
+                                   else W) * (co // groups)), acc_dtype)
         s1 = jnp.sum(y, axis=(0, 1))[None]             # (1, C)
         s2 = jnp.sum(y * y, axis=(0, 1))[None]
         # statistics dots at full f32 precision: the 0/1 matrices are
@@ -295,17 +507,27 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
         y = y * gns_row[None, None, :] + gnb_row[None, None, :]
     if use_act:
         y = act(y)
+    if ragged is not None and use_gn:
+        # the GN affine re-polluted the pad lanes ((0-mean)·inv·s + b);
+        # restore the exact-zero invariant (act(0) == 0, so the
+        # use_gn=False thin merges only need the post-bias mask above)
+        pad_keep = perm_ref[ragged["pad_row"]][None, None, :]
+        y = jnp.concatenate([y[:, :wc - 1], y[:, wc - 1:] * pad_keep],
+                            axis=1)
     return y
 
 
-def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc, acc_dtype):
+def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc_in, acc_dtype):
     """Factor-2 average pool of the haloed scratch's interior in block
     layout: parity picks as 0/1 sublane matmuls (cols-then-rows so the
     result lands directly in (hr2, wc2, C) — no Mosaic transpose), the
     2×2→lane mean as a lane matmul. Default precision: every conv
     already passes activations through bf16, so the pool picks add no
-    new noise class (CPU interpret stays exact f32)."""
-    yin = src[1:hr + 1, 1:wc + 1, :]
+    new noise class (CPU interpret stays exact f32).
+
+    ``wc_in`` may be wc+1 (one zero halo col) when the pooled ragged
+    layout needs an extra source block col (2·wc2 > wc)."""
+    yin = src[1:hr + 1, 1:1 + wc_in, :]
     acc = None
     for j in (0, 1):
         t = lax.dot_general(pcol_ref[j], yin,
@@ -323,7 +545,8 @@ def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc, acc_dtype):
 
 
 def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
-                  acc_dtype, pool, use_gn=True, use_act=True):
+                  acc_dtype, pool, use_gn=True, use_act=True,
+                  W_valid=None, ragged=None, pool_geom=None):
     """One grid step = one FluidLayer on the VMEM-resident field.
 
     All channel dims are host-padded to a common lane size C (Mosaic
@@ -364,9 +587,17 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     if pool:
         @pl.when(r == 0)
         def _pool():
-            hr2, wc2 = hr // 2, wc // 2
+            hr2, wc2, wc_in, pool_mask_row = pool_geom
             acc = _pool_op(src, prow_ref, pcol_ref, pmat_ref,
-                           hr=hr, wc=wc, acc_dtype=acc_dtype)
+                           hr=hr, wc_in=wc_in, acc_dtype=acc_dtype)
+            if pool_mask_row is not None:
+                # pooled ragged layout: zero the pad lane groups of
+                # the pooled last block col (torch floor pooling drops
+                # the trailing odd col — without this the half-sum of
+                # the last valid col would leak into the pad lane)
+                pk = perm_ref[pool_mask_row][None, None, :]
+                acc = jnp.concatenate(
+                    [acc[:, :wc2 - 1], acc[:, wc2 - 1:] * pk], axis=1)
             scr2[:] = jnp.zeros_like(scr2)
             scr2[1:hr2 + 1, 1:wc2 + 1, :] = acc
             dma = pltpu.make_async_copy(scr2, out2_hbm, sem2)
@@ -379,7 +610,7 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
         bias_ref[r], gns_ref[r], gnb_ref[r], gmat_ref, gmat_t_ref,
         perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
         learned=learned, acc_dtype=acc_dtype, use_gn=use_gn,
-        use_act=use_act)
+        use_act=use_act, W_valid=W_valid, ragged=ragged)
 
     src[1:hr + 1, 1:wc + 1, :] = y
 
@@ -407,16 +638,19 @@ class LayerStack:
                  k: int, act, learned: bool, dtype=jnp.float32,
                  interpret: bool = False, pool: bool = False,
                  use_gn: bool = True, use_act: bool = True,
-                 groups: int = None):
+                 groups: int = None, weights_bf16: bool = None):
         assert k == 5, "band width 2 requires k=5"
-        assert H % FR == 0 and W % FC == 0
+        assert H % FR == 0
         if pool:
-            assert H % (2 * FR) == 0 and W % (2 * FC) == 0
+            assert H % (2 * FR) == 0
         R = len(layers)
         ci = layers[0]["w"].shape[2]
         co = layers[0]["w"].shape[3]
         assert R == 1 or ci == co, "uniform stacks only (except stem)"
-        hr, wc = H // FR, W // FC
+        # W need not divide FC: a ragged last block col is handled via
+        # _ragged_plan (pad lanes stay exact zeros; right-edge bands
+        # get per-eval folded weight copies + target lane masks)
+        hr, wc = H // FR, -(-W // FC)
         assert hr >= 3 and wc >= 3, "assembly needs >=3 block rows/cols"
         fci, fco = FR * FC * ci, FR * FC * co
         # Mosaic forbids lane-dim slices not aligned to the 128 tiling,
@@ -444,32 +678,54 @@ class LayerStack:
         gnb = np.stack([padded(np.tile(np.asarray(l["gn_bias"]),
                                        FR * FC), (C,)) for l in layers])
         P23, P01, m01, m23 = _lane_shift_mats(co, C)
+        plan = _ragged_plan(W, co, C)
         if learned:
             # fold the output-lane permutation into the col-band and
-            # corner weights (band index ≥ 2): their dots then land
-            # directly on the target lane groups (kernel assembly)
-            _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
+            # corner weights: their dots then land directly on the
+            # target lane groups (kernel assembly). _band_slots gives
+            # the aligned 8-slot layout or the plan's expanded one.
+            slots = _band_slots(plan, P23, P01)
             wband = np.stack([
                 np.stack([
                     padded(s2d_conv_weights_rect(np.asarray(l[nm]),
                                                  FR, FC), (3, 3, C, C))
-                    @ _fold.get(i, np.eye(C, dtype=np.float32))
-                    for i, nm in enumerate(_BAND_SOURCES)])
-                for l in layers])             # (R, 8, 3, 3, C, C)
+                    @ (np.eye(C, dtype=np.float32) if fold is None
+                       else fold)
+                    for nm, fold in slots])
+                for l in layers])      # (R, nslots, 3, 3, C, C)
         else:
             wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
 
         if groups is None:
             groups = max(1, co // min(4, co))
         gmat, gmat_t = _group_mats(co, groups, C)
-        # lane keep-masks: [b∈{0,1}, b∈{2,3}] (padded lanes are in
-        # neither mask — they stay whatever the main conv made them,
-        # exact zeros)
-        perm = np.stack([m01, m23])
+
+        # ---- pool geometry (torch floor semantics: W2 = W // 2) ----
+        pool_mask = None
+        pool_geom = None
+        if pool:
+            H2, W2 = H // 2, W // 2
+            hr2, wc2 = H2 // FR, -(-W2 // FC)
+            wc_in = max(wc, 2 * wc2)          # ≤ wc + 1 (zero halo col)
+            w_rem2 = W2 - (wc2 - 1) * FC
+            if w_rem2 != FC:
+                pool_mask = np.zeros((C,), np.float32)
+                for a in range(FR):
+                    for b in range(w_rem2):
+                        lo = (a * FC + b) * ci
+                        pool_mask[lo:lo + ci] = 1.0
+        # lane keep-masks: rows 0/1 = [b∈{0,1}, b∈{2,3}] (padded lanes
+        # are in neither mask — they stay whatever the main conv made
+        # them, exact zeros); ragged plans append pad/keep/sel rows
+        perm, ragged, pool_mask_row = _perm_rows(plan, m01, m23,
+                                                 pool_mask)
+        if pool:
+            pool_geom = (hr2, wc2, wc_in, pool_mask_row)
         kern = functools.partial(
             _stack_kernel, R=R, hr=hr, wc=wc, co=co,
             groups=groups, act=act, learned=learned, acc_dtype=dtype,
-            pool=pool, use_gn=use_gn, use_act=use_act)
+            pool=pool, use_gn=use_gn, use_act=use_act,
+            W_valid=W, ragged=ragged, pool_geom=pool_geom)
 
         in_specs = [
             pl.BlockSpec((1,) + wmain.shape[1:],
@@ -491,9 +747,8 @@ class LayerStack:
                    pltpu.SemaphoreType.DMA(())]
         pool_consts = ()
         if pool:
-            hr2, wc2 = hr // 2, wc // 2
             prow = np.zeros((2, hr2, hr), np.float32)
-            pcol = np.zeros((2, wc2, wc), np.float32)
+            pcol = np.zeros((2, wc2, wc_in), np.float32)
             for par in (0, 1):
                 prow[par, np.arange(hr2), 2 * np.arange(hr2) + par] = 1.0
                 pcol[par, np.arange(wc2), 2 * np.arange(wc2) + par] = 1.0
@@ -542,8 +797,11 @@ class LayerStack:
         # weight-streaming-bound at f32 across the level stacks, and
         # default MXU precision truncates f32 operands to bf16 anyway,
         # so this halves the bandwidth bit-identically. Interpret mode
-        # (CPU tests) keeps exact f32.
-        wdt = np.dtype(jnp.bfloat16) if not interpret else dtype
+        # (CPU tests) keeps exact f32 unless ``weights_bf16`` forces
+        # the TPU storage dtype (the CI deviation-bound tests).
+        if weights_bf16 is None:
+            weights_bf16 = not interpret
+        wdt = np.dtype(jnp.bfloat16) if weights_bf16 else dtype
         self._consts = (wmain.astype(wdt), wband.astype(wdt),
                         bias.astype(dtype), gns.astype(dtype),
                         gnb.astype(dtype), gmat.astype(dtype),

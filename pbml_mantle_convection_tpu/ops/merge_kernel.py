@@ -41,8 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .branch_kernel import (
-    FR, FC, _BAND_SOURCES, _fluid_layer_op, _group_mats,
-    _lane_shift_mats)
+    FR, FC, _band_slots, _fluid_layer_op, _group_mats,
+    _lane_shift_mats, _perm_rows, _ragged_plan)
 from .resize import _resize_matrix_np
 from .s2d import s2d_conv_weights_rect
 
@@ -74,7 +74,7 @@ def _col_lane_perms(c, C):
 
 
 def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
-                  acc_dtype):
+                  acc_dtype, W_valid=None, ragged=None):
     """grids[l] = (hr_l, wc_l); level 0 is full resolution."""
     (wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref, gmat_ref,
      gmat_t_ref, perm_ref, prow_ref, pcol_ref) = refs[:10]
@@ -137,12 +137,16 @@ def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
         srcs[l][:] = jnp.zeros_like(srcs[l])
         srcs[l][1:hr + 1, 1:wc + 1, :] = out
 
+    # acc_ref=scr_out: serialize the 6-piece main-conv accumulation
+    # through the output scratch — one long value chain here spills
+    # ~85 MB of vregs at 128×506 (measured: over physical VMEM)
     y = _fluid_layer_op(
         list(srcs), lambda p, P, Q: wmain_ref[p, P, Q],
         lambda p, i, P, Q: wband_ref[p, i, P, Q],
         bias_ref[0], gns_ref[0], gnb_ref[0], gmat_ref, gmat_t_ref,
         perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
-        learned=learned, acc_dtype=acc_dtype)
+        learned=learned, acc_dtype=acc_dtype, W_valid=W_valid,
+        ragged=ragged, acc_ref=scr_out)
 
     scr_out[:] = jnp.zeros_like(scr_out)
     scr_out[1:hr + 1, 1:wc + 1, :] = y
@@ -167,7 +171,7 @@ class TrunkStack:
     def __init__(self, layer: dict, c_ps: List[int], H: int, W: int,
                  nlev: int, k: int, act, learned: bool,
                  dtype=jnp.float32, interpret: bool = False,
-                 groups: int = None):
+                 groups: int = None, weights_bf16: bool = None):
         assert k == 5
         c_cat = sum(c_ps)
         co = layer["w"].shape[3]
@@ -176,9 +180,14 @@ class TrunkStack:
         assert all(FR * FC * c <= C for c in c_ps)
         dtype = np.dtype(dtype)
         grids = []
+        wls = []
         for l in range(nlev):
+            # valid level sizes follow the torch floor-pool chain;
+            # ragged widths round the block-col count up (pad lanes
+            # carry exact zeros — see branch_kernel._ragged_plan)
             Hl, Wl = H // 2 ** l, W // 2 ** l
-            grids.append((Hl // FR, Wl // FC))
+            grids.append((Hl // FR, -(-Wl // FC)))
+            wls.append(Wl)
         hr, wc = grids[0]
         npieces = nlev + 1                 # levels + the input field
         fco = FR * FC * co
@@ -202,21 +211,23 @@ class TrunkStack:
         w_std = s2d_conv_weights_rect(layer["w"], FR, FC)
         wmain = chunks(w_std)
         P23, P01, m01, m23 = _lane_shift_mats(co, fco)
+        plan = _ragged_plan(W, co, fco)
         if learned:
-            _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
+            slots = _band_slots(plan, P23, P01)
             wband = np.stack([
                 chunks(s2d_conv_weights_rect(np.asarray(layer[nm]),
                                              FR, FC))
-                @ _fold.get(i, np.eye(fco, dtype=np.float32))
-                for i, nm in enumerate(_BAND_SOURCES)], axis=1)
-            # (npieces, 8, 3, 3, C, fco)
+                @ (np.eye(fco, dtype=np.float32) if fold is None
+                   else fold)
+                for nm, fold in slots], axis=1)
+            # (npieces, nslots, 3, 3, C, fco)
         else:
             wband = np.zeros((npieces, 1, 3, 3, 1, 1), dtype)
 
         if groups is None:
             groups = max(1, co // min(4, co))
         gmat, gmat_t = _group_mats(co, groups, fco)
-        perm = np.stack([m01, m23])
+        perm, ragged, _ = _perm_rows(plan, m01, m23)
         bias = np.tile(np.asarray(layer["bias"]), FR * FC)[None]
         gns = np.tile(np.asarray(layer["gn_scale"]), FR * FC)[None]
         gnb = np.tile(np.asarray(layer["gn_bias"]), FR * FC)[None]
@@ -228,7 +239,11 @@ class TrunkStack:
         for l in range(1, nlev):
             hrl, wcl = grids[l]
             A = _resize_matrix_np(hrl * FR, H)     # (H, H_l)
-            B = _resize_matrix_np(wcl * FC, W)     # (W, W_l)
+            # the Keys matrix maps VALID widths; embed it in the
+            # block-shaped matrix with zero rows/cols for pad lanes
+            # (pad sources contribute nothing, pad targets stay 0)
+            B = np.zeros((wc * FC, wcl * FC), np.float64)
+            B[:W, :wls[l]] = _resize_matrix_np(wls[l], W)
             ar = np.zeros((4, hr, hrl), np.float64)
             for a in range(FR):
                 for r in range(FR):
@@ -242,7 +257,8 @@ class TrunkStack:
 
         kern = functools.partial(
             _trunk_kernel, nlev=nlev, grids=tuple(grids), co=co,
-            groups=groups, act=act, learned=learned, acc_dtype=dtype)
+            groups=groups, act=act, learned=learned, acc_dtype=dtype,
+            W_valid=W, ragged=ragged)
 
         nconst = 10 + 2 * (nlev - 1)
         in_specs = (
@@ -268,7 +284,9 @@ class TrunkStack:
             ),
             interpret=interpret,
         )
-        wdt = np.dtype(jnp.bfloat16) if not interpret else dtype
+        if weights_bf16 is None:
+            weights_bf16 = not interpret
+        wdt = np.dtype(jnp.bfloat16) if weights_bf16 else dtype
         self._consts = tuple(
             [wmain.astype(wdt), wband.astype(wdt), bias.astype(dtype),
              gns.astype(dtype), gnb.astype(dtype), gmat.astype(dtype),

@@ -102,3 +102,69 @@ def test_stem_stack_cin_ne_cout():
     out6 = stack(space_to_depth_rect(x, 2, 4)[0])
     out = np.asarray(depth_to_space_rect(out6[None], 2, 4, 16)[0])
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("r_p", ["learned", "zeros"])
+@pytest.mark.parametrize("W", [18, 19, 21])      # w_rem = 2, 3, 1
+def test_stack_ragged_width(r_p, W):
+    """Non-4-divisible widths run on a ragged last block column
+    (_ragged_plan): pad lane groups stay exact zeros, GroupNorm
+    statistics count only the valid W columns, and the right-edge
+    bands/corners use per-eval folded weights + target lane masks."""
+    H, k, C = 12, 5, 16
+    R = 2
+    learned = r_p == "learned"
+    layers = [FluidLayer(features=C, act_fn="gelu", r_p=r_p,
+                         kernel_size=k, dtype=jnp.float32)
+              for _ in range(R)]
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, H, W, C),
+                          jnp.float32)
+    params = []
+    ref = x
+    for i, lay in enumerate(layers):
+        p = lay.init(jax.random.PRNGKey(i + 1), ref)
+        ref = lay.apply(p, ref)
+        params.append(p["params"])
+    ref = np.asarray(ref[0])
+
+    stack = LayerStack(
+        [_layer_dict(p, learned) for p in params], H, W, k,
+        act=get_activation("gelu"), learned=learned, interpret=True)
+    wc = -(-W // 4)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, wc * 4 - W), (0, 0)))
+    x6 = space_to_depth_rect(xp, 2, 4)[0]
+    out6 = stack(x6)
+    dense = np.asarray(depth_to_space_rect(out6[None], 2, 4, C)[0])
+    np.testing.assert_allclose(dense[:, :W], ref, rtol=2e-5, atol=2e-5)
+    # pad cols carry exact zeros (the stored-field invariant)
+    np.testing.assert_array_equal(dense[:, W:], 0.0)
+
+
+@pytest.mark.parametrize("W", [18, 21])   # pooled widths 9 (ragged), 10
+def test_stack_ragged_pool(W):
+    """The in-kernel factor-2 pool on a ragged width follows the torch
+    floor semantics (trailing odd col dropped) and keeps the pooled
+    pad lanes exactly zero."""
+    from pbml_mantle_convection_tpu.ops.resize import avg_pool_nhwc
+
+    H, k, C = 12, 5, 16
+    lay = FluidLayer(features=C, act_fn="gelu", r_p="learned",
+                     kernel_size=k, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, H, W, C),
+                          jnp.float32)
+    p = lay.init(jax.random.PRNGKey(6), x)
+
+    stack = LayerStack([_layer_dict(p["params"], True)], H, W, k,
+                       act=get_activation("gelu"), learned=True,
+                       interpret=True, pool=True)
+    wc = -(-W // 4)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, wc * 4 - W), (0, 0)))
+    xh = stack.prep(space_to_depth_rect(xp, 2, 4)[0])
+    _, pooled_h = stack.call_raw(xh)
+    H2, W2 = H // 2, W // 2
+    hr2, wc2 = H2 // 2, -(-W2 // 4)
+    pooled6 = pooled_h[1:hr2 + 1, 1:wc2 + 1, :8 * C]
+    dense = np.asarray(depth_to_space_rect(pooled6[None], 2, 4, C)[0])
+    ref = np.asarray(avg_pool_nhwc(x, 2)[0])
+    np.testing.assert_allclose(dense[:, :W2], ref, rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(dense[:, W2:], 0.0)

@@ -153,3 +153,76 @@ def test_fast_inexact_mode_close():
                                 approx_gelu=True)(x)
     scale = float(jnp.max(jnp.abs(u0))) + 1e-30
     assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 0.02
+
+
+@pytest.mark.parametrize("r_p", ["learned", "zeros"])
+@pytest.mark.parametrize("shape", [(16, 30, 2), (16, 29, 2), (32, 54, 3)])
+def test_megakernel_ragged_width(r_p, shape):
+    """Non-4-divisible widths route through the megakernel path on a
+    ragged last block column (ops/branch_kernel._ragged_plan) — the
+    reference's own 128×506 grid chain (506/253/126/63/31) is the
+    production case. Must equal the module like the aligned path."""
+    H, W, levels = shape
+    model = NewFluidNet(levels=levels, c_i=7, c_h=8, c_o=1,
+                        act_fn="gelu", r_p=r_p, loss_type="curl",
+                        repeats=2, f=5, p_pred=False)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, H, W, 7)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    u0, v0, _ = model.apply(params, x)
+    fast = FastNewFluidNet(model, params, H, W, f=4, megakernel=True)
+    assert fast.use_megakernel
+    u1, v1, _ = fast(x)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=1e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-6, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_megakernel_reference_grid():
+    """The flagship 5-level megakernel stack compiles and matches the
+    module at the reference's production 128×506 grid
+    (prepare_gaia_ini.py:23-26) — the round-3 perf target shape."""
+    model = NewFluidNet(levels=5, c_i=7, c_h=16, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=2,
+                        f=5, p_pred=False)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 128, 506, 7)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    u0, v0, _ = model.apply(params, x)
+    fast = FastNewFluidNet(model, params, 128, 506, f=4,
+                           megakernel=True)
+    assert fast.use_megakernel
+    u1, v1, _ = fast(x)
+    scale = float(np.abs(np.asarray(u0)).max()) + 1e-30
+    assert float(np.abs(np.asarray(u1 - u0)).max()) / scale < 1e-5
+    assert float(np.abs(np.asarray(v1 - v0)).max()) / scale < 1e-5
+
+
+def test_megakernel_tpu_numerics_bound():
+    """Pin the shipped TPU path's numeric deviation in CI without a chip
+    (ADVICE r2): mk_tpu_numerics=True runs the interpret kernels with
+    the TPU storage/activation numerics — bf16 conv weights, bf16-cast
+    activations into every conv dot, the divide-free GELU fit — so the
+    default-path deviation vs the f32 Flax module is bounded by a test
+    (PARITY.md "TPU precision" documents ~1e-2 relative worst-case at
+    256² with 34 GroupNorm layers amplifying the conv noise)."""
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=2, f=5,
+                        p_pred=False)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 7)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    u0, v0, _ = model.apply(params, x)
+    fast = FastNewFluidNet(model, params, 16, 32, f=4, megakernel=True,
+                           mk_tpu_numerics=True)
+    assert fast.use_megakernel
+    u1, v1, _ = fast(x)
+    scale = float(np.abs(np.asarray(u0)).max()) + 1e-30
+    du = float(np.abs(np.asarray(u1 - u0)).max()) / scale
+    dv = float(np.abs(np.asarray(v1 - v0)).max()) / scale
+    # must actually exercise the inexact numerics ...
+    assert du > 1e-7
+    # ... and stay inside the documented TPU noise class
+    assert du < 2e-2 and dv < 2e-2
