@@ -292,8 +292,8 @@ struct Engine {
     const int ny = H - 2, nx = W - 2;
     const double dy = 1.0 / cfg.layers;
     const double dx = cfg.aspect / (W - 2);
-    const double vdamp = 4.0, ptsc = 0.25;
-    const double vsc = 0.5 * cfg.urf;   // urf_mm scales the velocity step
+    const double vdamp = 8.0, ptsc = 2.0;  // match physics/stokes.py
+    const double vsc = 0.8 * cfg.urf;   // urf_mm scales the velocity step
 
     // interior cell-centred inputs
     auto Tc = [&](int j, int i) { return T[id(j + 1, i + 1)]; };
