@@ -136,6 +136,104 @@ def convert_unet(state_dict: Mapping, levels: int, repeats: int) -> Dict:
     return {"params": out}
 
 
+def _lin_w(t):
+    return np.asarray(t).T                  # torch (out, in) → (in, out)
+
+
+def convert_transolver(state_dict: Mapping, n_layers: int) -> Dict:
+    """Transolver ``Model`` state_dict → TransolverStructured2D /
+    TransolverIrregular params.
+
+    Covers both mesh variants: the structured model's conv slice
+    projections (Physics_Attention-checkpoint.py:75-77, OIHW→HWIO) and
+    the irregular model's Linear ones (:18-19, transposed); shared
+    block layout per Transolver_Structured_Mesh_2D-checkpoint.py:41-77
+    (ln_1/Attn/ln_2/mlp, ln_3+mlp2 on the last block).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict = {}
+
+    def lin(dst, src, bias=True):
+        _set(out, dst + ("kernel",), _lin_w(sd[src + ".weight"]))
+        if bias:
+            _set(out, dst + ("bias",), sd[src + ".bias"])
+
+    def ln(dst, src):
+        _set(out, dst + ("scale",), sd[src + ".weight"])
+        _set(out, dst + ("bias",), sd[src + ".bias"])
+
+    lin(("preprocess", "linear_pre"), "preprocess.linear_pre.0")
+    lin(("preprocess", "linear_post"), "preprocess.linear_post")
+    if "placeholder" in sd:
+        out["placeholder"] = sd["placeholder"]
+    for i in range(n_layers):
+        b = f"blocks.{i}"
+        d = (f"blocks_{i}",)
+        ln(d + ("ln_1",), f"{b}.ln_1")
+        ln(d + ("ln_2",), f"{b}.ln_2")
+        _set(out, d + ("Attn", "temperature"),
+             sd[f"{b}.Attn.temperature"])
+        if sd[f"{b}.Attn.in_project_x.weight"].ndim == 4:
+            for nm in ("in_project_x", "in_project_fx"):
+                _set(out, d + ("Attn", nm, "kernel"),
+                     _conv_w(sd[f"{b}.Attn.{nm}.weight"]))
+                _set(out, d + ("Attn", nm, "bias"),
+                     sd[f"{b}.Attn.{nm}.bias"])
+        else:
+            lin(d + ("Attn", "in_project_x"), f"{b}.Attn.in_project_x")
+            lin(d + ("Attn", "in_project_fx"),
+                f"{b}.Attn.in_project_fx")
+        lin(d + ("Attn", "in_project_slice"),
+            f"{b}.Attn.in_project_slice")
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(d + ("Attn", nm), f"{b}.Attn.{nm}", bias=False)
+        lin(d + ("Attn", "to_out"), f"{b}.Attn.to_out.0")
+        lin(d + ("mlp", "linear_pre"), f"{b}.mlp.linear_pre.0")
+        lin(d + ("mlp", "linear_post"), f"{b}.mlp.linear_post")
+        if f"{b}.ln_3.weight" in sd:
+            ln(d + ("ln_3",), f"{b}.ln_3")
+            lin(d + ("mlp2",), f"{b}.mlp2")
+    return {"params": out}
+
+
+def convert_vit(state_dict: Mapping, depth: int,
+                prefix_out: tuple = ()) -> Dict:
+    """lucidrains ViT state_dict → models/vit.ViT params
+    (vit_pytorch-checkpoint.py:85-133). ``prefix_out`` nests the tree
+    (e.g. ("vit",) for ViTField's inner module)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict = {}
+    p = prefix_out
+
+    def lin(dst, src, bias=True):
+        _set(out, dst + ("kernel",), _lin_w(sd[src + ".weight"]))
+        if bias:
+            _set(out, dst + ("bias",), sd[src + ".bias"])
+
+    def ln(dst, src):
+        _set(out, dst + ("scale",), sd[src + ".weight"])
+        _set(out, dst + ("bias",), sd[src + ".bias"])
+
+    ln(p + ("LayerNorm_0",), "to_patch_embedding.1")
+    lin(p + ("Dense_0",), "to_patch_embedding.2")
+    ln(p + ("LayerNorm_1",), "to_patch_embedding.3")
+    _set(out, p + ("pos_embedding",), sd["pos_embedding"])
+    _set(out, p + ("cls_token",), sd["cls_token"])
+    t = p + ("Transformer_0",)
+    for i in range(depth):
+        a = f"transformer.layers.{i}.0"
+        f = f"transformer.layers.{i}.1"
+        ln(t + (f"attn_{i}", "LayerNorm_0"), f"{a}.norm")
+        lin(t + (f"attn_{i}", "Dense_0"), f"{a}.to_qkv", bias=False)
+        lin(t + (f"attn_{i}", "Dense_1"), f"{a}.to_out.0")
+        ln(t + (f"ff_{i}", "LayerNorm_0"), f"{f}.net.0")
+        lin(t + (f"ff_{i}", "Dense_0"), f"{f}.net.1")
+        lin(t + (f"ff_{i}", "Dense_1"), f"{f}.net.4")
+    ln(t + ("LayerNorm_0",), "transformer.norm")
+    lin(p + ("Dense_1",), "mlp_head")
+    return {"params": out}
+
+
 def load_reference_checkpoint(path: str, network: str, levels: int,
                               repeats: int) -> Dict:
     """Load a reference ``.pt`` checkpoint and convert it."""
@@ -144,4 +242,6 @@ def load_reference_checkpoint(path: str, network: str, levels: int,
     sd = {k: v.numpy() for k, v in sd.items()}
     if network in ("unet", "iunet"):
         return convert_unet(sd, levels, repeats)
+    if "transolver" in network:
+        return convert_transolver(sd, levels)
     return convert_fluidnet(sd, levels, repeats)

@@ -411,3 +411,185 @@ def test_profile_mlp_parity(tmp_path):
                                       [2.0, 50.0])
     np.testing.assert_allclose(y_prof, y_prof_ref, rtol=1e-12)
     np.testing.assert_allclose(y_ours, y_ref, rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Transolver / ViT numeric parity (VERDICT round-2 item 5: C22 was
+# structural-only; these pin the Physics-Attention and ViT stacks to the
+# actual torch modules at f64 round-off via utils/torch_convert mappings)
+# ---------------------------------------------------------------------------
+
+def _load_ref_module(name, fname):
+    """Import a reference .ipynb_checkpoints module (dashed filename)
+    under a clean module name so its intra-imports resolve."""
+    import importlib.util
+    path = os.path.join(REF, ".ipynb_checkpoints", fname)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def transolver_mods():
+    torch = pytest.importorskip("torch")
+    import types
+    try:
+        import timm  # noqa: F401
+    except ImportError:
+        # the reference imports timm only for trunc_normal_ init
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        models.layers = layers
+        timm.models = models
+        sys.modules.setdefault("timm", timm)
+        sys.modules.setdefault("timm.models", models)
+        sys.modules.setdefault("timm.models.layers", layers)
+    pa = _load_ref_module("Physics_Attention",
+                          "Physics_Attention-checkpoint.py")
+    ts2d = _load_ref_module("Transolver_Structured_Mesh_2D_ref",
+                            "Transolver_Structured_Mesh_2D-checkpoint.py")
+    return torch, pa, ts2d
+
+
+def _attn_params(sd):
+    """Bare Physics-Attention torch module → Flax params."""
+    p = {}
+
+    def lin(name, src, bias=True):
+        p[name] = {"kernel": np.asarray(sd[src + ".weight"]).T}
+        if bias:
+            p[name]["bias"] = np.asarray(sd[src + ".bias"])
+
+    w = np.asarray(sd["in_project_x.weight"])
+    if w.ndim == 4:
+        for nm in ("in_project_x", "in_project_fx"):
+            p[nm] = {
+                "kernel": np.asarray(sd[nm + ".weight"]
+                                     ).transpose(2, 3, 1, 0),
+                "bias": np.asarray(sd[nm + ".bias"])}
+    else:
+        lin("in_project_x", "in_project_x")
+        lin("in_project_fx", "in_project_fx")
+    lin("in_project_slice", "in_project_slice")
+    for nm in ("to_q", "to_k", "to_v"):
+        lin(nm, nm, bias=False)
+    lin("to_out", "to_out.0")
+    p["temperature"] = np.asarray(sd["temperature"])
+    return {"params": p}
+
+
+def test_physics_attention_structured_2d_parity(transolver_mods):
+    """Physics_Attention_Structured_Mesh_2D (conv slice projections,
+    clamped temperature) == PhysicsAttentionStructuredMesh2D at 1e-9.
+    Reference: Physics_Attention-checkpoint.py:60-116."""
+    torch, pa, _ = transolver_mods
+    from pbml_mantle_convection_tpu.models.transolver import (
+        PhysicsAttentionStructuredMesh2D)
+    H, W, dim = 12, 20, 32
+    tm = pa.Physics_Attention_Structured_Mesh_2D(
+        dim, heads=4, dim_head=8, dropout=0.0, slice_num=16,
+        H=H, W=W, kernel=3).double().eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, H * W, dim))
+    with torch.no_grad():
+        ref = tm(torch.tensor(x, dtype=torch.float64)).numpy()
+    ours = PhysicsAttentionStructuredMesh2D(
+        dim, H=H, W=W, heads=4, dim_head=8, slice_num=16, kernel=3)
+    out = ours.apply(
+        _attn_params({k: v.numpy() for k, v in tm.state_dict().items()}),
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9,
+                               atol=1e-11)
+
+
+def test_physics_attention_irregular_parity(transolver_mods):
+    """Physics_Attention_Irregular_Mesh (Linear projections, unclamped
+    temperature) == PhysicsAttentionIrregularMesh at 1e-9.
+    Reference: Physics_Attention-checkpoint.py:6-57."""
+    torch, pa, _ = transolver_mods
+    from pbml_mantle_convection_tpu.models.transolver import (
+        PhysicsAttentionIrregularMesh)
+    dim = 32
+    tm = pa.Physics_Attention_Irregular_Mesh(
+        dim, heads=4, dim_head=8, dropout=0.0, slice_num=16
+    ).double().eval()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 150, dim))
+    with torch.no_grad():
+        ref = tm(torch.tensor(x, dtype=torch.float64)).numpy()
+    ours = PhysicsAttentionIrregularMesh(dim, heads=4, dim_head=8,
+                                         slice_num=16)
+    out = ours.apply(
+        _attn_params({k: v.numpy() for k, v in tm.state_dict().items()}),
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9,
+                               atol=1e-11)
+
+
+@pytest.mark.slow
+def test_transolver_structured_model_parity(transolver_mods):
+    """Full structured-mesh Transolver Model (preprocess → blocks →
+    hard-coded 128×506 view → a_bound curl head) == our
+    TransolverStructured2D end-to-end at f64. Reference:
+    Transolver_Structured_Mesh_2D-checkpoint.py:80-204 (the 128×506
+    view at :190 pins the grid). Converted with
+    utils/torch_convert.convert_transolver."""
+    torch, _, ts2d = transolver_mods
+    from pbml_mantle_convection_tpu.models.transolver import (
+        TransolverStructured2D)
+    from pbml_mantle_convection_tpu.utils.torch_convert import (
+        convert_transolver)
+    H, W = 128, 506
+    n_layers, n_hidden, n_head, slice_num, fun_dim = 2, 32, 4, 8, 5
+    tm = ts2d.Model(torch.device("cpu"), space_dim=2,
+                    n_layers=n_layers, n_hidden=n_hidden, dropout=0.0,
+                    n_head=n_head, mlp_ratio=1, fun_dim=fun_dim,
+                    out_dim=1, slice_num=slice_num, unified_pos=False,
+                    H=H, W=W, a_bound=10.0, p_pred=False,
+                    kernel=3).double().eval()
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(1, H * W, 2 + fun_dim))
+    with torch.no_grad():
+        tu, tv, _ = tm(torch.tensor(data, dtype=torch.float64))
+    ours = TransolverStructured2D(
+        H=H, W=W, space_dim=2, fun_dim=fun_dim, n_layers=n_layers,
+        n_hidden=n_hidden, n_head=n_head, mlp_ratio=1, out_dim=1,
+        slice_num=slice_num, kernel=3, a_bound=10.0, p_pred=False)
+    params = convert_transolver(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, n_layers)
+    ju, jv, _ = ours.apply(params, jnp.asarray(data))
+    np.testing.assert_allclose(np.asarray(ju), tu.numpy(), rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_vit_parity():
+    """lucidrains ViT (patch embed, cls token, pre-norm transformer,
+    mlp head) == models/vit.ViT at f64 via convert_vit. Reference:
+    vit_pytorch-checkpoint.py:85-133."""
+    torch = pytest.importorskip("torch")
+    vitref = _load_ref_module("vit_pytorch_ref",
+                              "vit_pytorch-checkpoint.py")
+    from pbml_mantle_convection_tpu.models.vit import ViT
+    from pbml_mantle_convection_tpu.utils.torch_convert import convert_vit
+    H, W, C, depth = 16, 32, 5, 2
+    tm = vitref.ViT(image_size=(H, W), patch_size=8, num_classes=10,
+                    dim=64, depth=depth, heads=4, mlp_dim=128,
+                    channels=C, dim_head=16).double().eval()
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, C, H, W))
+    with torch.no_grad():
+        ref = tm(torch.tensor(img, dtype=torch.float64)).numpy()
+    ours = ViT(image_size=(H, W), patch_size=(8, 8), num_classes=10,
+               dim=64, depth=depth, heads=4, mlp_dim=128, channels=C,
+               dim_head=16)
+    params = convert_vit(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, depth)
+    out = ours.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-9,
+                               atol=1e-11)
