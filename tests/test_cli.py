@@ -64,3 +64,55 @@ def test_benchmark_cli_inference(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert rec["unit"] == "ms"
+
+
+def _fake_run(path, mode, H=12, W=20, n_steps=30, n_snaps=3, seed=0,
+              dt_wall=0.01, drift=0.0):
+    """Write a sim/rollout.py-layout pickle set (advect_wi_gaia.py:
+    654-668) with a smooth synthetic temperature history."""
+    import pickle
+    rng = np.random.default_rng(seed)
+    os.makedirs(path, exist_ok=True)
+    y = (np.arange(H) + 0.5) / H
+    x = (np.arange(W) + 0.5) / W * 4
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    snaps = {"v": [], "P": [], "T": [],
+             "xcc": xx, "ycc": yy}
+    for s in range(n_snaps):
+        T = np.clip(1 - yy + 0.1 * np.sin(3 * xx + s) + drift, 0, 1)
+        snaps["T"].append(T.reshape(-1))
+        snaps["P"].append(rng.normal(size=H * W))
+        u = rng.normal(size=(H * W, 1))
+        snaps["v"].append(np.concatenate(
+            [u, rng.normal(size=(H * W, 1)), np.zeros_like(u)], axis=1))
+    t_vec = np.linspace(0, 1.0, n_steps)
+    T_vec = 0.5 + 0.01 * np.sin(t_vec) + drift
+    TS_vec = np.full(n_steps, dt_wall)
+    for name, obj in [("snapshots", snaps), ("t_vec", list(t_vec)),
+                      ("T_vec", list(T_vec)), ("TS_vec", list(TS_vec))]:
+        with open(os.path.join(path, f"{name}_{mode}.pkl"), "wb") as f:
+            pickle.dump(obj, f)
+
+
+def test_analyze_cli(tmp_path, capsys):
+    """pmc-analyze reproduces the notebook cell-5 comparison (Pearson,
+    profile/trace MAE, matched-time speedup) from on-disk run dirs
+    (load_advection_results-checkpoint.ipynb cells 3-6)."""
+    from pbml_mantle_convection_tpu.cli.analyze import main
+    _fake_run(str(tmp_path / "gaia"), "GAIA", dt_wall=0.10)
+    _fake_run(str(tmp_path / "ml"), "ML_STOKES", dt_wall=0.01,
+              drift=0.002, seed=1)
+    rows = main([str(tmp_path / "gaia"), str(tmp_path / "ml"),
+                 "--json", str(tmp_path / "out.json")])
+    out = capsys.readouterr().out
+    assert "baseline: gaia" in out and "Pearson(T)" in out
+    by = {r["mode"]: r for r in rows}
+    assert by["GAIA"]["pearson_T"] == pytest.approx(1.0)
+    assert by["GAIA"]["speedup"] == pytest.approx(1.0)
+    # identical physical trajectory at 10x cheaper steps → speedup ~10
+    assert by["ML_STOKES"]["speedup"] == pytest.approx(10.0, rel=0.1)
+    assert 0.9 < by["ML_STOKES"]["pearson_T"] <= 1.0
+    assert by["ML_STOKES"]["trace_mae"] == pytest.approx(0.002, rel=1e-6)
+    assert by["ML_STOKES"]["step_ms_mean"] == pytest.approx(10.0)
+    assert json.load(open(tmp_path / "out.json"))[1][
+        "name"] == "ml"
