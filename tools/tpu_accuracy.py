@@ -1,0 +1,184 @@
+"""TPU-path accuracy audit: 500-step T-RMSE of the SHIPPED executor.
+
+Closes the north-star perf⊕accuracy conjunction on one path (VERDICT
+round-2 weak item 2): the ≥1000 steps/s figure is measured on the TPU
+Pallas megakernel executor, while the <1e-6 500-step torch parity is
+proven for the CPU-f64 standard module
+(tests/test_torch_parity.py::test_coupled_rollout_parity_500). This tool
+runs the SAME coupled rollout (bench.py's configuration: FK viscosity +
+feature assembly + flagship NewFluidNet + advection energy step inside
+one lax.scan) twice with identical weights and initial state:
+
+1. **reference trajectory** — float64, standard Flax module, CPU
+   (subprocess with ``JAX_PLATFORMS=cpu JAX_ENABLE_X64=1``): the exact
+   path already pinned to the torch reference (advect_wi_gaia.py:583-677)
+   at <1e-6 500-step T-RMSE;
+2. **shipped path** — this process's default backend (the TPU chip),
+   float32, ``FastNewFluidNet`` with the megakernel executor exactly as
+   ``bench.py`` ships it (bf16 conv weights + fast GELU), plus the
+   accuracy variant (``exact_gelu=True``) for the speed/accuracy curve;
+
+and reports the 500-step temperature-field RMSE and mean-T trace MAE
+between them. Record the figures in PARITY.md ("TPU precision").
+
+Usage:  python tools/tpu_accuracy.py [--H 256 --W 256] [--steps 500]
+        (run on the TPU host; the f64 reference leg is ~5-15 min of CPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--H", type=int, default=256)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--levels", type=int, default=5)
+    p.add_argument("--c_h", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--phase", choices=["both", "ref", "tpu"],
+                   default="both")
+    p.add_argument("--state", type=str, default=None,
+                   help="npz path shared between the phases "
+                        "(default: a deterministic tmp name)")
+    p.add_argument("--json", action="store_true",
+                   help="print the metric dict as one JSON line")
+    return p
+
+
+def _build(args, dtype):
+    """Model + engine at the bench.py configuration in ``dtype``."""
+    import jax.numpy as jnp
+    from pbml_mantle_convection_tpu.constants import SimParams
+    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.sim.engine import SimEngine
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+
+    grid = Grid(H=args.H, W=args.W,
+                aspect=(args.W - 2) / (args.H - 2),
+                dtype=np.dtype(dtype).name)
+    params_phys = SimParams(raq=3.0, fkt=1e8, fkp=10.0)
+    model = NewFluidNet(levels=args.levels, c_i=7, c_h=args.c_h, c_o=1,
+                        act_fn="gelu", r_p="learned", loss_type="curl",
+                        repeats=args.repeats, f=5, p_pred=False,
+                        dtype=dtype)
+    T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
+                  0.0, 1.0).astype(dtype)[None]
+
+    def engine_for(apply_fn):
+        stepper = TimeStepper(grid=grid, params=params_phys,
+                              apply_fn=apply_fn, cn_max=0.99, dtype=dtype)
+        return SimEngine(grid=grid, params=params_phys, stepper=stepper,
+                         mode="ML_STOKES", dtype=dtype)
+
+    return grid, model, T0, engine_for
+
+
+def run_ref(args, state_path):
+    """f64 standard-module trajectory (must run under CPU + x64)."""
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.config.read("jax_enable_x64"), "ref phase needs x64"
+    _, model, T0, engine_for = _build(args, jnp.float64)
+    key = jax.random.PRNGKey(args.seed)
+    weights = model.init(key, jnp.zeros((1, args.H, args.W, 7),
+                                        jnp.float64))
+    eng = engine_for(lambda x: model.apply(weights, x))
+    st = eng.init_state(T0)
+    st, trace = jax.jit(eng.multi_step, static_argnums=1)(st, args.steps)
+    flat = {f"w{i}": np.asarray(w)
+            for i, w in enumerate(jax.tree.leaves(weights))}
+    np.savez(state_path, T=np.asarray(st.T), trace=np.asarray(trace.mean_T),
+             **flat)
+    print(f"ref: {args.steps} steps done, meanT={float(st.T.mean()):.6f}",
+          file=sys.stderr)
+
+
+def run_tpu(args, state_path):
+    """Shipped-path trajectories vs the stored f64 reference."""
+    import jax
+    import jax.numpy as jnp
+    from pbml_mantle_convection_tpu.models.fast_path import FastNewFluidNet
+    from pbml_mantle_convection_tpu.utils.jit import tpu_jit
+
+    data = np.load(state_path)
+    T_ref = data["T"]
+    trace_ref = data["trace"]
+
+    _, model, T0, engine_for = _build(args, jnp.float32)
+    # rebuild the param pytree in f32 from the stored f64 leaves
+    tmpl = model.init(jax.random.PRNGKey(args.seed),
+                      jnp.zeros((1, args.H, args.W, 7), jnp.float32))
+    leaves, treedef = jax.tree.flatten(tmpl)
+    stored = [jnp.asarray(data[f"w{i}"], jnp.float32)
+              for i in range(len(leaves))]
+    assert all(a.shape == b.shape for a, b in zip(stored, leaves))
+    weights = jax.tree.unflatten(treedef, stored)
+
+    out = {"H": args.H, "W": args.W, "steps": args.steps,
+           "backend": jax.default_backend()}
+    for name, kw in [("megakernel_default", {}),
+                     ("megakernel_exact_gelu", {"exact_gelu": True})]:
+        fast = FastNewFluidNet(model, weights, args.H, args.W, **kw)
+        eng = engine_for(fast)
+        st = eng.init_state(T0)
+        st, trace = tpu_jit(eng.multi_step, static_argnums=1)(
+            st, args.steps)
+        T = np.asarray(st.T, np.float64)
+        rmse = float(np.sqrt(np.mean((T - T_ref) ** 2)))
+        tmae = float(np.mean(np.abs(np.asarray(trace.mean_T, np.float64)
+                                    - trace_ref)))
+        out[name] = {"T_rmse": rmse, "trace_mae": tmae,
+                     "megakernel": bool(fast.use_megakernel)}
+        print(f"{name}: T_rmse={rmse:.3e} trace_mae={tmae:.3e} "
+              f"(megakernel={fast.use_megakernel})", file=sys.stderr)
+    if args.json:
+        print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    state_path = args.state or os.path.join(
+        tempfile.gettempdir(),
+        f"tpu_acc_{args.H}x{args.W}_{args.steps}_{args.seed}.npz")
+
+    if args.phase in ("both", "ref") and not (
+            args.phase == "both" and os.path.exists(state_path)):
+        if args.phase == "ref":
+            run_ref(args, state_path)
+            return
+        # both: the f64 leg needs CPU+x64 before jax import → subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+        cmd = [sys.executable, os.path.abspath(__file__), "--phase", "ref",
+               "--state", state_path]
+        for k in ("H", "W", "steps", "levels", "c_h", "repeats", "seed"):
+            cmd += [f"--{k}", str(getattr(args, k))]
+        print(f"running f64 reference leg: {' '.join(cmd[-16:])}",
+              file=sys.stderr)
+        subprocess.run(cmd, check=True, env=env, cwd=REPO)
+    elif args.phase == "both":
+        print(f"reusing cached reference leg {state_path}", file=sys.stderr)
+
+    if args.phase in ("both", "tpu"):
+        return run_tpu(args, state_path)
+
+
+if __name__ == "__main__":
+    main()
