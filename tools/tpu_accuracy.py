@@ -92,6 +92,11 @@ def _build(args, dtype):
 def run_ref(args, state_path):
     """f64 standard-module trajectory (must run under CPU + x64)."""
     import jax
+
+    # the axon TPU relay overrides JAX_PLATFORMS via sitecustomize —
+    # the config update is the only reliable way to force CPU here
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     assert jax.config.read("jax_enable_x64"), "ref phase needs x64"
