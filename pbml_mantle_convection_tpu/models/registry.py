@@ -56,7 +56,11 @@ class ModelConfig:
     def channels(self) -> Tuple[int, int]:
         """(c_i, c_o) derivation (multigpu.py:1072-1087)."""
         net = self.network
-        if "fluidnet" in net:
+        if net == "ifluidnet":
+            # legacy iterative branch: 7 channels + the (u, v) velocity
+            # iterate fed back as inputs (pycold-checkpoint.py:326-341)
+            c_i, c_o = 9, 3
+        elif "fluidnet" in net:
             c_i, c_o = 7, 3
         elif net == "convae":
             c_i, c_o = 3, 3
@@ -104,6 +108,9 @@ def build_model(cfg: ModelConfig):
         return NewFluidNet(**common, drop_rate=cfg.drop_rate,
                            factor=cfg.factor)
     if net in ("fluidnet", "ifluidnet"):
+        # ifluidnet is the same FluidNet module with c_i=9; the velocity
+        # feedback loop lives in TimeStepper.stokes_iterative
+        # (pycold-checkpoint.py:322-343)
         return FluidNet(**common, drop_rate=cfg.drop_rate,
                         factor=cfg.factor)
     if net == "multiscalenewfluidnet":

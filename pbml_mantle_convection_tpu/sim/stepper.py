@@ -102,6 +102,45 @@ def assemble_unet_input(T, u_prev, v_prev, dt, static: StaticFields,
     return x, V
 
 
+def assemble_ifluidnet_input(T, u, v, grid: Grid, static: StaticFields,
+                             params: SimParams):
+    """9-channel legacy NHWC input (sdf, sdf2, log10(V)/8, raq_nd, fkt_nd,
+    fkp_nd, T, u, v) of the iterative-fluidnet TS branch — reference:
+    pycold-checkpoint.py:326-341 (sdf/sdf2 boundary rings replace the
+    xc/yc coordinate channels; the running velocity iterate is fed back
+    as channels 8-9).
+
+    T, u, v: (B, H, W). Returns (B, H, W, 9) and the clipped viscosity.
+    """
+    yc = static.yc_feat * COORD_SCALE
+    V = jnp.clip(
+        fk_viscosity(jnp.asarray(params.fkt, T.dtype),
+                     jnp.asarray(params.fkp, T.dtype),
+                     1.0 - yc, T),
+        1e-8, 1.0)
+    b = T.shape[0]
+
+    def bcast(p):
+        return jnp.broadcast_to(p.astype(T.dtype), (b,) + p.shape)
+
+    x = jnp.stack(
+        [bcast(grid.sdf), bcast(grid.sdf2), visc_feature(V),
+         bcast(static.raq_nd), bcast(static.fkt_nd), bcast(static.fkp_nd),
+         T, u, v],
+        axis=-1,
+    )
+    return x, V
+
+
+def _zero_corners(f):
+    """Zero the four corner cells of a (B, H, W) field
+    (pycold-checkpoint.py:384-399)."""
+    for r in (0, -1):
+        for c in (0, -1):
+            f = f.at[..., r, c].set(0.0)
+    return f
+
+
 @dataclasses.dataclass(frozen=True)
 class TimeStepper:
     """Coupled Stokes-surrogate + advection step (the reference ``TS``).
@@ -159,6 +198,55 @@ class TimeStepper:
         u = u * s
         v = v * s
         return u, v, p, V
+
+    def stokes_iterative(self, T, n_iter: int = 1):
+        """The legacy ``ifluidnet`` iterative Stokes solve
+        (pycold-checkpoint.py:322-343): the surrogate takes the previous
+        velocity iterate as input channels 8-9 (zeros on the first pass)
+        and is re-applied ``n_iter`` times; the input is replicate-padded
+        (3,3,0,0) in W and the outputs cropped back (:339-343), matching
+        the legacy FluidNet-era pre-padding. Unscaling and corner zeroing
+        happen after the loop (:363-399).
+
+        Returns (u, v, p, V) with u, v in physical (unscaled) units.
+        ``n_iter`` is static (the checkpoint runs the loop once, :326).
+        """
+        u = jnp.zeros_like(T)
+        v = jnp.zeros_like(T)
+        p = None
+        V = None
+        for _ in range(n_iter):
+            x, V = assemble_ifluidnet_input(T, u, v, self.grid,
+                                            self._static, self.params)
+            x = jnp.pad(x, ((0, 0), (0, 0), (3, 3), (0, 0)), mode="edge")
+            u, v, p = self.apply_fn(x)
+            u = u[..., 3:-3]
+            v = v[..., 3:-3]
+            if p is not None:
+                p = p[..., 3:-3]
+        s = self.scaler
+        u = _zero_corners(u * s)
+        v = _zero_corners(v * s)
+        if p is not None:
+            p = _zero_corners(p)
+        return u, v, p, V
+
+    def step_iterative(self, T, dt=None, n_iter: int = 1):
+        """One coupled legacy step: iterative Stokes + the explicit AD
+        temperature update with BC stamping (pycold-checkpoint.py:401-414;
+        the AD input quadruple is (u, v, T, raq) there as here).
+
+        Returns (T_new, dt, u, v, p, V) like :meth:`step`.
+        """
+        u, v, p, V = self.stokes_iterative(T, n_iter=n_iter)
+        if not self.advect:
+            return T, jnp.asarray(0.0, T.dtype), u, v, p, V
+        raq = jnp.asarray(self.params.raq, T.dtype)
+        T_new, dt = self.advect_fn(
+            u, v, T, raq, self._metrics, dt=dt, cn_max=self.cn_max,
+            core_cool=self.core_cool)
+        T_new = stamp_temperature_bc(T_new, core_cool=self.core_cool)
+        return T_new, dt, u, v, p, V
 
     def step(self, T, dt=None):
         """One coupled step for the fluidnet family: Stokes surrogate then

@@ -212,3 +212,61 @@ def test_batched_multi_sim_rollout():
     state, trace, _ = eng.rollout(state, 20)
     assert state.T.shape[0] == 2
     assert np.all(np.isfinite(np.asarray(state.T)))
+
+
+class TestIterativeLegacyStepper:
+    """The legacy ifluidnet iterative TS branch
+    (pycold-checkpoint.py:283-414)."""
+
+    def _stepper(self, grid):
+        from pbml_mantle_convection_tpu.models.registry import (
+            ModelConfig, build_model)
+        cfg = ModelConfig(network="ifluidnet", levels=2, c_h=4, repeats=1,
+                          kernel=3, r_p="zeros", loss_type="curl",
+                          p_pred=False, act_fn="gelu", a_bound=10.0,
+                          dtype=jnp.float64)
+        assert cfg.channels == (9, 1)
+        model = build_model(cfg)
+        params = SimParams(raq=2.0, fkt=1e6, fkp=3.0)
+        x0 = jnp.zeros((1, grid.H, grid.W + 6, 9), jnp.float64)
+        weights = model.init(jax.random.PRNGKey(0), x0)
+        stepper = TimeStepper(grid=grid, params=params,
+                              apply_fn=lambda x: model.apply(weights, x),
+                              net="ifluidnet", dtype=jnp.float64)
+        return stepper
+
+    def test_iterative_stokes_shapes_and_corners(self):
+        grid = Grid(H=24, W=34)
+        st = self._stepper(grid)
+        T = jnp.clip(1.0 - grid.yc, 0, 1).astype(jnp.float64)[None]
+        u, v, p, V = jax.jit(st.stokes_iterative)(T)
+        assert u.shape == v.shape == (1, grid.H, grid.W)
+        assert p is None  # curl + no p_pred
+        for r in (0, -1):
+            for c in (0, -1):
+                assert float(u[0, r, c]) == 0.0
+                assert float(v[0, r, c]) == 0.0
+        assert np.all(np.isfinite(np.asarray(u)))
+
+    def test_velocity_feedback_changes_iterates(self):
+        """n_iter=2 must differ from n_iter=1: channels 8-9 are live."""
+        grid = Grid(H=24, W=34)
+        st = self._stepper(grid)
+        T = jnp.clip(1.0 - grid.yc + 0.1 * jnp.sin(3 * grid.xc),
+                     0, 1).astype(jnp.float64)[None]
+        u1, v1, _, _ = st.stokes_iterative(T, n_iter=1)
+        u2, v2, _, _ = st.stokes_iterative(T, n_iter=2)
+        assert float(jnp.abs(u2 - u1).max()) > 1e-12
+
+    def test_step_iterative_advances_temperature(self):
+        grid = Grid(H=24, W=34)
+        st = self._stepper(grid)
+        T = jnp.clip(1.0 - grid.yc, 0, 1).astype(jnp.float64)[None]
+        T_new, dt, u, v, p, V = jax.jit(st.step_iterative)(T)
+        assert float(dt) > 0
+        # legacy BC stamping: Dirichlet bottom/top, Neumann sides
+        assert np.allclose(np.asarray(T_new[0, 0, :]), 1.0)
+        assert np.allclose(np.asarray(T_new[0, -1, :]), 0.0)
+        assert np.allclose(np.asarray(T_new[0, :, 0]),
+                           np.asarray(T_new[0, :, 1]))
+        assert np.all(np.isfinite(np.asarray(T_new)))
