@@ -171,8 +171,11 @@ class ConvAE(nn.Module):
 
     Deviation: the reference decoder uses ``Upsample(scale_factor=4)``,
     which cannot reproduce non-multiple-of-4 widths (e.g. 506); we upsample
-    to the recorded encoder sizes instead, which is the shape-correct
-    generalization.
+    to the recorded encoder sizes instead. On ×4-divisible grids this is
+    numerically identical to the reference's scale_factor-4 upsample
+    (both use the half-pixel convention;
+    tests/test_resize.py::test_bicubic_scale_factor4_exact), so the
+    generalization is a strict superset, not a numeric deviation.
     """
 
     levels: int

@@ -121,10 +121,13 @@ class Trainer:
         self.model = build_model(cfg.model)
         self.rng = np.random.default_rng(cfg.seed)
 
-        # small-batch init mixing (multigpu.py:866-868)
+        # small-batch init mixing (multigpu.py:866-868); clamped so the
+        # main stream keeps >=1 example per batch at tiny batch sizes
+        # (the reference crashes there with a 0-size DataLoader)
         self.small_batch = 0
         if train_data_init is not None:
-            self.small_batch = 1 if (cfg.n_devices or 1) > 1 else 2
+            self.small_batch = min(1 if (cfg.n_devices or 1) > 1 else 2,
+                                   max(0, cfg.batch_size - 1))
 
         self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
 
@@ -286,17 +289,28 @@ class Trainer:
 
     def train(self, epochs: Optional[int] = None):
         epochs = epochs or self.cfg.epochs
+        metrics_path = os.path.join(self.nn_dir, "epoch_metrics.txt")
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             if self.params is not None:
                 self._set_lr(epoch)
             losses, losses_cv = self.run_epoch(epoch)
+            if self.params is None:
+                raise RuntimeError(
+                    "epoch produced no training batches (dataset smaller "
+                    "than the batch size?) — nothing was trained")
             self._set_lr(epoch)  # ensure set when params were just created
+            wall = time.time() - t0
+            # epoch-time metrics live in a sidecar so fluidnet_uvpT.txt
+            # stays byte-compatible with the reference's restart/model-
+            # selection parsers (multigpu.py:621-670)
+            with open(metrics_path, "a") as f:
+                f.write(f"{epoch},{wall:.3f}\n")
             if epoch % self.cfg.save_every == 0:
                 self.save(epoch, losses, losses_cv)
                 print(f"epoch {epoch}: train {losses[0]:.5f} "
                       f"cv {losses_cv[0]:.5f} "
-                      f"({time.time() - t0:.1f}s)")
+                      f"({wall:.1f}s)")
         return self.params
 
 

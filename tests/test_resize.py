@@ -48,3 +48,17 @@ def test_avg_pool_matches_torch(hw, factor):
         jnp.asarray(x.transpose(0, 2, 3, 1)), factor))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_bicubic_scale_factor4_exact():
+    """On x4-divisible grids the size-targeted resize is identical to the
+    reference ConvAE decoder's Upsample(scale_factor=4, mode='bicubic')
+    (pycold-checkpoint.py:1074) — the documented shape generalization is
+    a strict superset, not a numeric deviation."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 2, 8, 12))
+    ref = torch.nn.Upsample(scale_factor=4, mode="bicubic")(
+        torch.tensor(x, dtype=torch.float64)).numpy()
+    got = resize_bicubic_nhwc(jnp.asarray(np.moveaxis(x, 1, -1)), (32, 48))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), ref,
+                               rtol=1e-12, atol=1e-12)
