@@ -165,6 +165,92 @@ def report(rows):
     return "\n".join(lines)
 
 
+def write_figures(runs, truth, out_dir: str, gif: bool = True):
+    """Figure/gif artifacts of the analysis notebook
+    (load_advection_results-checkpoint.ipynb cells 3-6): the mean-T
+    trace comparison, final-snapshot temperature heatmaps, the
+    horizontally-averaged T(z) profiles, and per-run temperature-field
+    gifs over the recorded snapshots."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+
+    # 1. mean-T trace vs physical time (cell 3's T_vec plots)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for r in runs:
+        n = min(len(r["t"]), len(r["T"]))
+        ax.plot(r["t"][:n], r["T"][:n],
+                lw=2.2 if r is truth else 1.2,
+                color="k" if r is truth else None,
+                label=f"{r['name']} [{r['mode']}]")
+    ax.set_xlabel("physical time")
+    ax.set_ylabel("mean T")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    p = os.path.join(out_dir, "mean_T_trace.png")
+    fig.savefig(p, dpi=130)
+    plt.close(fig)
+    written.append(p)
+
+    # 2. final-snapshot temperature heatmaps (cell 4 get_plot_data)
+    for r in runs:
+        if not len(r["snapshots"]["T"]):
+            continue
+        z = _field(r["snapshots"], -1)
+        fig, ax = plt.subplots(
+            figsize=(8, 8 * z.shape[0] / max(z.shape[1], 1) + 0.8))
+        im = ax.imshow(z, origin="lower", cmap="inferno",
+                       vmin=0.0, vmax=max(1.0, float(z.max())),
+                       aspect="auto")
+        fig.colorbar(im, ax=ax, shrink=0.8, label="T")
+        ax.set_title(f"{r['name']} [{r['mode']}] — final T")
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"snapshot_{r['name']}.png")
+        fig.savefig(p, dpi=130)
+        plt.close(fig)
+        written.append(p)
+
+    # 3. horizontally-averaged profiles (cell 4's Tp plots)
+    fig, ax = plt.subplots(figsize=(4, 5))
+    for r in runs:
+        if not len(r["snapshots"]["T"]):
+            continue
+        rr, Tp, _ = profile(_field(r["snapshots"], -1))
+        ax.plot(Tp, rr, lw=2.2 if r is truth else 1.2,
+                color="k" if r is truth else None,
+                label=f"{r['name']}")
+    ax.set_xlabel("horizontally averaged T")
+    ax.set_ylabel("height")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    p = os.path.join(out_dir, "profiles.png")
+    fig.savefig(p, dpi=130)
+    plt.close(fig)
+    written.append(p)
+
+    # 4. per-run temperature gifs (the notebook's gif generation)
+    if gif:
+        try:
+            from PIL import Image
+        except ImportError:
+            return written
+        for r in runs:
+            frames = []
+            for i in range(len(r["snapshots"]["T"])):
+                z = np.clip(_field(r["snapshots"], i), 0.0, 1.0)
+                rgba = (plt.get_cmap("inferno")(z) * 255).astype(np.uint8)
+                frames.append(Image.fromarray(rgba[::-1]))  # origin lower
+            if len(frames) > 1:
+                p = os.path.join(out_dir, f"T_{r['name']}.gif")
+                frames[0].save(p, save_all=True, append_images=frames[1:],
+                               duration=120, loop=0)
+                written.append(p)
+    return written
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="pmc-analyze",
@@ -182,6 +268,10 @@ def main(argv=None):
                          "notebook uses -10 of its 200-step snaps)")
     ap.add_argument("--json", dest="json_out", default=None,
                     help="also write the metric dicts to this file")
+    ap.add_argument("--figures", default=None, metavar="DIR",
+                    help="write trace/snapshot/profile figures and "
+                         "per-run T gifs to DIR (the notebook's plot "
+                         "and gif cells)")
     args = ap.parse_args(argv)
 
     runs = [load_run(d, args.mode) for d in args.runs]
@@ -199,6 +289,9 @@ def main(argv=None):
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rows, f, indent=1)
+    if args.figures:
+        written = write_figures(runs, truth, args.figures)
+        print(f"figures: {len(written)} files in {args.figures}")
     return rows
 
 

@@ -116,3 +116,21 @@ def test_analyze_cli(tmp_path, capsys):
     assert by["ML_STOKES"]["step_ms_mean"] == pytest.approx(10.0)
     assert json.load(open(tmp_path / "out.json"))[1][
         "name"] == "ml"
+
+
+def test_analyze_cli_figures(tmp_path):
+    """--figures writes the notebook's plot/gif artifacts (trace,
+    snapshot heatmaps, profiles, per-run T gifs)."""
+    pytest.importorskip("matplotlib")
+    from pbml_mantle_convection_tpu.cli.analyze import main
+    _fake_run(str(tmp_path / "gaia"), "GAIA", dt_wall=0.10)
+    _fake_run(str(tmp_path / "ml"), "ML_STOKES", dt_wall=0.01,
+              drift=0.002, seed=1)
+    fig_dir = tmp_path / "figs"
+    main([str(tmp_path / "gaia"), str(tmp_path / "ml"),
+          "--figures", str(fig_dir)])
+    names = sorted(os.listdir(fig_dir))
+    assert "mean_T_trace.png" in names
+    assert "profiles.png" in names
+    assert "snapshot_gaia.png" in names and "snapshot_ml.png" in names
+    assert "T_gaia.gif" in names and "T_ml.gif" in names
