@@ -76,3 +76,20 @@ def test_trainer_loss_decreases(tmp_path):
     log = parse_loss_log(tr.log_path)
     # u-loss should improve between the two epochs on this easy set
     assert log[1]["train"][0] < log[0]["train"][0] * 1.5
+
+
+def test_small_batch_clamped_at_tiny_batch_size(tmp_path):
+    """batch_size=2 with init mixing must keep >=1 main example per
+    batch (small_batch is clamped, not the reference's crash)."""
+    train, cv, init = _datasets()
+    cfg = _cfg()
+    cfg = TrainConfig(model=cfg.model, epochs=1, batch_size=2,
+                      start_lr=1e-3, milestones=(1,))
+    tr = Trainer(cfg, train, cv, train_data_init=init,
+                 cv_data_init=init, nn_dir=str(tmp_path))
+    assert tr.small_batch == 1
+    cfg1 = TrainConfig(model=cfg.model, epochs=1, batch_size=1,
+                       start_lr=1e-3, milestones=(1,))
+    tr1 = Trainer(cfg1, train, cv, train_data_init=init,
+                  cv_data_init=init, nn_dir=str(tmp_path))
+    assert tr1.small_batch == 0
