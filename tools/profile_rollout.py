@@ -79,12 +79,14 @@ def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace"):
             dev_pid = e["pid"]
     agg = collections.Counter()
     cat = collections.Counter()
+    byop = collections.Counter()
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e.get("pid") == dev_pid:
             name = e.get("name", "")
             if name.startswith("jit_") or name.startswith("while"):
                 continue
             agg[src.get(name, "?" + name[:24])] += e.get("dur", 0)
+            byop[name] += e.get("dur", 0)
             cat[re.match(r"([a-zA-Z\-_]+)", name).group(1)] += e.get(
                 "dur", 0)
 
@@ -96,6 +98,9 @@ def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace"):
     print("\nby source line (ms/step):")
     for k, d in agg.most_common(25):
         print(f"  {d / steps / 1e3:7.4f}  {k}")
+    print("\nby op name (ms/step, top 25):")
+    for k, d in byop.most_common(25):
+        print(f"  {d / steps / 1e3:7.4f}  {k}  [{src.get(k, '?')}]")
 
 
 if __name__ == "__main__":
