@@ -636,13 +636,15 @@ class FastNewFluidNet:
         branches l≥1, rect input) for the f4p merge assembly."""
         m = self.m
         from ..ops.s2d import depth_to_space_rect, space_to_depth_rect
-        from ..ops.branch_kernel import FR, FC
+        from ..ops.branch_kernel import FR, FC, _round8
         if self.mk_stem is None:
             self._build_megakernel()
-        Wp = -(-W // FC) * FC
+        Wp = _round8(-(-W // FC)) * FC
         if Wp != W:
-            # ragged width: zero-pad to the block multiple — the pad
-            # lane groups stay exact zeros through every kernel
+            # ragged width: zero-pad to the kernels' _round8 block-col
+            # run width — the pad lane groups and trailing pad blocks
+            # stay exact zeros through every kernel (and the padded
+            # width keeps this relayout off the slow odd-width path)
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
         x6r = space_to_depth_rect(x, FR, FC)
         # raw haloed chaining: each kernel's output keeps its zero halo,

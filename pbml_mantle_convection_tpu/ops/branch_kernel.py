@@ -149,26 +149,41 @@ def _group_mats(co, groups, C):
     return M, np.ascontiguousarray(M.T)
 
 
-def _ragged_plan(W: int, co: int, C: int):
-    """Static plan for a ragged last block column (W % FC != 0).
+def _round8(n: int) -> int:
+    """Round a block-col count up to a sublane multiple. Mosaic lowers
+    odd-size sublane-dim slices ~2× slower than 8-multiples (measured:
+    the wc=127 kernels at 128×506/508 run 2.0× the wc=128 ones at
+    128×512, same pixel count — PERF.md round-3); every kernel
+    therefore runs at wc ≡ 0 (mod 8) with trailing all-pad block cols
+    kept exact zero by the ragged plan."""
+    return max(8, -(-n // 8) * 8)
 
-    The field is laid out on wc = ceil(W / FC) block cols; dense cols
-    ≥ W are zero pad lanes (groups b ≥ w_rem of block col wc-1). The
-    right-edge band outputs (dense cols W-2, W-1) and their conv
-    centers (W-4, W-3) then no longer share one block column, so the
-    single pre-folded lane permutation of the aligned path splits into:
+
+def _ragged_plan(W: int, co: int, C: int, wc_run: int = None):
+    """Static plan for a ragged last block column (W % FC != 0) and/or
+    trailing all-pad block cols (wc_run > ceil(W / FC)).
+
+    The field is laid out on wc_run block cols; dense cols ≥ W are zero
+    pad lanes (groups b ≥ w_rem of the boundary block col eb, plus
+    every block col > eb). The right-edge band outputs (dense cols W-2,
+    W-1) and their conv centers (W-4, W-3) then no longer share one
+    block column, so the single pre-folded lane permutation of the
+    aligned path splits into:
 
     * per distinct center block col ``e`` — one folded weight copy
       whose output lanes land on the *target* lane groups;
     * per target block col ``t`` — select masks (one per contributing
       eval) and a keep mask for the untouched lanes.
 
-    Returns None when W is aligned, else a dict of numpy constants +
-    static indices consumed by LayerStack/TrunkStack.
+    Returns None when W is aligned and there are no trailing pad
+    blocks, else a dict of numpy constants + static indices consumed by
+    LayerStack/TrunkStack.
     """
     wc = -(-W // FC)
+    if wc_run is None:
+        wc_run = wc
     w_rem = W - (wc - 1) * FC
-    if w_rem == FC:
+    if w_rem == FC and wc_run == wc:
         return None
     outs = (W - 2, W - 1)
     evals = tuple(sorted({(o - 2) // FC for o in outs}))
@@ -199,8 +214,9 @@ def _ragged_plan(W: int, co: int, C: int):
         for b in range(w_rem):
             lo = (a * FC + b) * co
             pad_mask[lo:lo + co] = 1.0
-    return dict(wc=wc, w_rem=w_rem, evals=evals, targets=targets,
-                folds=folds, sels=sels, keeps=keeps, pad_mask=pad_mask)
+    return dict(wc=wc_run, w_rem=w_rem, eb=wc - 1, evals=evals,
+                targets=targets, folds=folds, sels=sels, keeps=keeps,
+                pad_mask=pad_mask)
 
 
 def _band_slots(plan, P23, P01):
@@ -243,7 +259,7 @@ def _perm_rows(plan, m01, m23, pool_mask=None):
                     ssel.append((ei, sel_row))
             tstat.append((t, keep_row, tuple(ssel)))
         ragged = dict(evals=plan["evals"], targets=tuple(tstat),
-                      pad_row=pad_row)
+                      pad_row=pad_row, eb=plan["eb"])
     pool_mask_row = None
     if pool_mask is not None:
         pool_mask_row = len(rows)
@@ -475,14 +491,21 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
             y = jnp.concatenate(
                 [top_full[None], ymid, bot_full[None]], axis=0)
 
+    def _mask_pad(y):
+        # zero the pad lane groups of the boundary block col and every
+        # trailing all-pad block col: keeps the stored-field invariant
+        # (pads exactly 0) and makes the GroupNorm sums exact over the
+        # valid W columns
+        pad_keep = perm_ref[ragged["pad_row"]][None, None, :]
+        eb = ragged["eb"]
+        parts = [y[:, :eb], y[:, eb:eb + 1] * pad_keep]
+        if eb + 1 < wc:
+            parts.append(jnp.zeros_like(y[:, eb + 1:]))
+        return jnp.concatenate(parts, axis=1)
+
     y = y + bias_row[None, None, :]
     if ragged is not None:
-        # zero the pad lane groups of the last block col: keeps the
-        # stored-field invariant (pads exactly 0) and makes the
-        # GroupNorm sums below exact over the valid W columns
-        pad_keep = perm_ref[ragged["pad_row"]][None, None, :]
-        y = jnp.concatenate([y[:, :wc - 1], y[:, wc - 1:] * pad_keep],
-                            axis=1)
+        y = _mask_pad(y)
 
     if use_gn:
         # ---- GroupNorm over original channels (matmul statistics) ----
@@ -511,9 +534,7 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
         # the GN affine re-polluted the pad lanes ((0-mean)·inv·s + b);
         # restore the exact-zero invariant (act(0) == 0, so the
         # use_gn=False thin merges only need the post-bias mask above)
-        pad_keep = perm_ref[ragged["pad_row"]][None, None, :]
-        y = jnp.concatenate([y[:, :wc - 1], y[:, wc - 1:] * pad_keep],
-                            axis=1)
+        y = _mask_pad(y)
     return y
 
 
@@ -587,17 +608,23 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     if pool:
         @pl.when(r == 0)
         def _pool():
-            hr2, wc2, wc_in, pool_mask_row = pool_geom
+            hr2, wc2, wc_in, pool_mask_row, eb2 = pool_geom
             acc = _pool_op(src, prow_ref, pcol_ref, pmat_ref,
                            hr=hr, wc_in=wc_in, acc_dtype=acc_dtype)
-            if pool_mask_row is not None:
+            if pool_mask_row is not None or eb2 + 1 < wc2:
                 # pooled ragged layout: zero the pad lane groups of
-                # the pooled last block col (torch floor pooling drops
-                # the trailing odd col — without this the half-sum of
-                # the last valid col would leak into the pad lane)
-                pk = perm_ref[pool_mask_row][None, None, :]
-                acc = jnp.concatenate(
-                    [acc[:, :wc2 - 1], acc[:, wc2 - 1:] * pk], axis=1)
+                # the pooled boundary block col (torch floor pooling
+                # drops the trailing odd col — without this the
+                # half-sum of the last valid col would leak into the
+                # pad lane) and the trailing all-pad block cols (the
+                # same half-sum leak lands in their first lane group
+                # when W is odd and the boundary block is full)
+                pk = (perm_ref[pool_mask_row][None, None, :]
+                      if pool_mask_row is not None else 1.0)
+                parts = [acc[:, :eb2], acc[:, eb2:eb2 + 1] * pk]
+                if eb2 + 1 < wc2:
+                    parts.append(jnp.zeros_like(acc[:, eb2 + 1:]))
+                acc = jnp.concatenate(parts, axis=1)
             scr2[:] = jnp.zeros_like(scr2)
             scr2[1:hr2 + 1, 1:wc2 + 1, :] = acc
             dma = pltpu.make_async_copy(scr2, out2_hbm, sem2)
@@ -649,8 +676,10 @@ class LayerStack:
         assert R == 1 or ci == co, "uniform stacks only (except stem)"
         # W need not divide FC: a ragged last block col is handled via
         # _ragged_plan (pad lanes stay exact zeros; right-edge bands
-        # get per-eval folded weight copies + target lane masks)
-        hr, wc = H // FR, -(-W // FC)
+        # get per-eval folded weight copies + target lane masks).
+        # wc always runs at a sublane multiple (_round8) — trailing
+        # all-pad block cols are cheaper than odd-size sublane slices.
+        hr, wc = H // FR, _round8(-(-W // FC))
         assert hr >= 3 and wc >= 3, "assembly needs >=3 block rows/cols"
         fci, fco = FR * FC * ci, FR * FC * co
         # Mosaic forbids lane-dim slices not aligned to the 128 tiling,
@@ -678,7 +707,7 @@ class LayerStack:
         gnb = np.stack([padded(np.tile(np.asarray(l["gn_bias"]),
                                        FR * FC), (C,)) for l in layers])
         P23, P01, m01, m23 = _lane_shift_mats(co, C)
-        plan = _ragged_plan(W, co, C)
+        plan = _ragged_plan(W, co, C, wc_run=wc)
         if learned:
             # fold the output-lane permutation into the col-band and
             # corner weights: their dots then land directly on the
@@ -705,9 +734,13 @@ class LayerStack:
         pool_geom = None
         if pool:
             H2, W2 = H // 2, W // 2
-            hr2, wc2 = H2 // FR, -(-W2 // FC)
-            wc_in = max(wc, 2 * wc2)          # ≤ wc + 1 (zero halo col)
-            w_rem2 = W2 - (wc2 - 1) * FC
+            hr2, wc2 = H2 // FR, _round8(-(-W2 // FC))
+            eb2 = -(-W2 // FC) - 1            # pooled boundary block
+            # pool sources beyond the (haloed) scratch width do not
+            # exist — pcol rows for them stay zero (those pooled cols
+            # are all-pad anyway)
+            wc_in = min(max(wc, 2 * wc2), wc + 1)
+            w_rem2 = W2 - eb2 * FC
             if w_rem2 != FC:
                 pool_mask = np.zeros((C,), np.float32)
                 for a in range(FR):
@@ -720,7 +753,7 @@ class LayerStack:
         perm, ragged, pool_mask_row = _perm_rows(plan, m01, m23,
                                                  pool_mask)
         if pool:
-            pool_geom = (hr2, wc2, wc_in, pool_mask_row)
+            pool_geom = (hr2, wc2, wc_in, pool_mask_row, eb2)
         kern = functools.partial(
             _stack_kernel, R=R, hr=hr, wc=wc, co=co,
             groups=groups, act=act, learned=learned, acc_dtype=dtype,
@@ -751,7 +784,10 @@ class LayerStack:
             pcol = np.zeros((2, wc2, wc_in), np.float32)
             for par in (0, 1):
                 prow[par, np.arange(hr2), 2 * np.arange(hr2) + par] = 1.0
-                pcol[par, np.arange(wc2), 2 * np.arange(wc2) + par] = 1.0
+                js = np.arange(wc2)
+                sc = 2 * js + par
+                ok = sc < wc_in
+                pcol[par, js[ok], sc[ok]] = 1.0
             from .s2d import _pool_lane_mats
             pm = _pool_lane_mats(co)
             pmat = np.zeros((4, C, C), np.float32)
@@ -788,6 +824,7 @@ class LayerStack:
             interpret=interpret,
         )
         self._hr, self._wc = hr, wc
+        self._wc_nat = -(-W // FC)
         self.pool = pool
         self._pool_consts = pool_consts
         # kept as NumPy: LayerStack may be built lazily inside a jit
@@ -808,10 +845,12 @@ class LayerStack:
                         gmat_t.astype(dtype), perm.astype(dtype))
 
     def prep(self, x6):
-        """Zero-halo + channel-pad a (hr, wc, fr·fc·Ci) activation into
-        the raw kernel input layout (hr+2, wc+2, C)."""
+        """Zero-halo + channel-pad a (hr, ≥wc_nat, fr·fc·Ci) activation
+        into the raw kernel input layout (hr+2, wc+2, C); narrower
+        inputs gain trailing zero block cols up to the run width."""
         fci = self.shape_in[-1]
-        return jnp.pad(x6, ((1, 1), (1, 1), (0, self._C - fci)))
+        return jnp.pad(x6, ((1, 1), (1, self._wc - x6.shape[1] + 1),
+                            (0, self._C - fci)))
 
     def call_raw(self, xh):
         """Run on a raw haloed input (hr+2, wc+2, C) — e.g. the previous
@@ -822,9 +861,10 @@ class LayerStack:
         return self._call(*self._consts, *self._pool_consts, xh)
 
     def __call__(self, x6):
-        """x6: (hr, wc, fr·fc·Ci) — batch-free block-layout activation."""
-        hr, wc = self._hr, self._wc
+        """x6: (hr, ceil(W/FC), fr·fc·Ci) block-layout activation;
+        returns the same natural width (trailing pad blocks dropped)."""
+        hr = self._hr
         fco = self.shape_out[-1]
         out = self.call_raw(self.prep(x6))
         y = out[0] if self.pool else out
-        return y[1:hr + 1, 1:wc + 1, :fco]
+        return y[1:hr + 1, 1:self._wc_nat + 1, :fco]

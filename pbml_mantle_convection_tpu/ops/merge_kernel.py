@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .branch_kernel import (
     FR, FC, _band_slots, _fluid_layer_op, _group_mats,
-    _lane_shift_mats, _perm_rows, _ragged_plan)
+    _lane_shift_mats, _perm_rows, _ragged_plan, _round8)
 from .resize import _resize_matrix_np
 from .s2d import s2d_conv_weights_rect
 
@@ -183,10 +183,12 @@ class TrunkStack:
         wls = []
         for l in range(nlev):
             # valid level sizes follow the torch floor-pool chain;
-            # ragged widths round the block-col count up (pad lanes
-            # carry exact zeros — see branch_kernel._ragged_plan)
+            # block-col counts run at the same _round8 width as the
+            # branch kernels producing each piece (pad lanes and
+            # trailing pad blocks carry exact zeros —
+            # branch_kernel._ragged_plan)
             Hl, Wl = H // 2 ** l, W // 2 ** l
-            grids.append((Hl // FR, -(-Wl // FC)))
+            grids.append((Hl // FR, _round8(-(-Wl // FC))))
             wls.append(Wl)
         hr, wc = grids[0]
         npieces = nlev + 1                 # levels + the input field
@@ -211,7 +213,7 @@ class TrunkStack:
         w_std = s2d_conv_weights_rect(layer["w"], FR, FC)
         wmain = chunks(w_std)
         P23, P01, m01, m23 = _lane_shift_mats(co, fco)
-        plan = _ragged_plan(W, co, fco)
+        plan = _ragged_plan(W, co, fco, wc_run=wc)
         if learned:
             slots = _band_slots(plan, P23, P01)
             wband = np.stack([
