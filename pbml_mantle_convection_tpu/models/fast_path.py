@@ -584,6 +584,106 @@ class FastNewFluidNet:
             y6 = y6 * jnp.repeat(mask, spec["c_o"], axis=-1)[None]
         return y6
 
+    # ---- hoisted input assembly (T-only megakernel input path) ----
+
+    input_hoisted = False
+
+    def bind_input_assembly(self, static, params) -> bool:
+        """Hoist the per-rollout-constant input channels out of the step.
+
+        Five of the surrogate's seven input channels (xc/4, yc/4, raq,
+        fkt, fkp — sim/stepper.py:assemble_fluidnet_input, reference
+        pytorch_networks_convae.py:388-407) are constants of the
+        (grid, params) pair, and the log-viscosity channel is an
+        elementwise function of T alone — so the per-step input
+        space-to-depth relayout only has to move ONE channel.  This
+        precomputes the static lanes in rect block layout, the
+        1-minus-depth plane and pad mask the in-layout viscosity needs,
+        and the 0/1 lane-scatter matrices that place the two dynamic
+        channels; :meth:`apply_from_T` then assembles the kernel input
+        as ``static6r + t6r·M_T + vis6r·M_V`` (two exact HIGHEST-
+        precision scatters) instead of a dense stack + 7-channel s2d.
+
+        Returns True when the T-only path is active (megakernel build,
+        c_i == 7); bitwise-identical outputs to ``__call__`` on the
+        assembled input (elementwise ops are layout-invariant, the
+        scatter products multiply by exact 1.0).
+
+        Safe to call from inside a trace (the stepper binds lazily on
+        the first ``stokes``): ``ensure_compile_time_eval`` keeps the
+        hoisted constants concrete — without it they would be staged as
+        scan-body tracers and leak into the next trace.
+        """
+        if not (self.use_megakernel and self.m.c_i == 7):
+            return False
+        from ..constants import COORD_SCALE
+        from ..ops.branch_kernel import FC, FR, _round8
+        from ..ops.s2d import space_to_depth_rect
+        from ..sim.stepper import assemble_fluidnet_input
+        H, W = self.H, self.W
+        Wp = _round8(-(-W // FC)) * FC
+        self._in_padw = Wp - W
+
+        def pad_w(a):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, self._in_padw),
+                               (0, 0)))
+
+        with jax.ensure_compile_time_eval():
+            # assembled input with both T-dependent lanes zeroed (T == 0
+            # zeroes channel 6; channel 2 is overwritten explicitly)
+            x0, _ = assemble_fluidnet_input(
+                jnp.zeros((1, H, W), self.dtype), static, params)
+            x0 = x0.at[..., 2].set(0.0)
+            self._in_static6r = space_to_depth_rect(pad_w(x0), FR, FC)
+            z = (1.0 - static.yc_feat * COORD_SCALE).astype(self.dtype)
+            self._in_z6r = space_to_depth_rect(
+                pad_w(z[None, ..., None]), FR, FC)
+            self._in_mask6r = space_to_depth_rect(
+                pad_w(jnp.ones((1, H, W, 1), self.dtype)), FR, FC)
+            L = FR * FC
+            MT = np.zeros((L, L * 7), np.float32)
+            MV = np.zeros((L, L * 7), np.float32)
+            for j in range(L):
+                MT[j, j * 7 + 6] = 1.0
+                MV[j, j * 7 + 2] = 1.0
+            self._in_MT = jnp.asarray(MT, self.dtype)
+            self._in_MV = jnp.asarray(MV, self.dtype)
+        self._in_static = static
+        self._in_params = params
+        self.input_hoisted = True
+        return True
+
+    def apply_from_T(self, T):
+        """(B, H, W) temperature → (u, v, p) via the hoisted input
+        assembly (:meth:`bind_input_assembly`).  Falls back to the
+        dense assemble + ``__call__`` when B != 1."""
+        from ..physics.viscosity import fk_viscosity
+        from ..constants import visc_feature
+        if T.shape[0] != 1 or not self.input_hoisted:
+            from ..sim.stepper import assemble_fluidnet_input
+            x, _ = assemble_fluidnet_input(T, self._in_static,
+                                           self._in_params)
+            return self(x)
+        from ..ops.branch_kernel import FC, FR
+        from ..ops.s2d import space_to_depth_rect_sliced
+        H, W = self.H, self.W
+        Tp = jnp.pad(T[..., None],
+                     ((0, 0), (0, 0), (0, self._in_padw), (0, 0)))
+        t6r = space_to_depth_rect_sliced(Tp, FR, FC)
+        p = self._in_params
+        V6 = jnp.clip(
+            fk_viscosity(jnp.asarray(p.fkt, T.dtype),
+                         jnp.asarray(p.fkp, T.dtype),
+                         self._in_z6r, t6r),
+            1e-8, 1.0)
+        vis6 = visc_feature(V6) * self._in_mask6r
+        hp = lax.Precision.HIGHEST
+        x6r = (self._in_static6r
+               + jnp.matmul(t6r, self._in_MT, precision=hp)
+               + jnp.matmul(vis6, self._in_MV, precision=hp))
+        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(x6r)
+        return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
+
     def __call__(self, x):
         m = self.m
         f = self.f
@@ -635,10 +735,8 @@ class FastNewFluidNet:
         bicubic resize. Returns (branch-0 rect output, resized dense
         branches l≥1, rect input) for the f4p merge assembly."""
         m = self.m
-        from ..ops.s2d import depth_to_space_rect, space_to_depth_rect
+        from ..ops.s2d import space_to_depth_rect
         from ..ops.branch_kernel import FR, FC, _round8
-        if self.mk_stem is None:
-            self._build_megakernel()
         Wp = _round8(-(-W // FC)) * FC
         if Wp != W:
             # ragged width: zero-pad to the kernels' _round8 block-col
@@ -647,6 +745,13 @@ class FastNewFluidNet:
             # width keeps this relayout off the slow odd-width path)
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
         x6r = space_to_depth_rect(x, FR, FC)
+        return self._megakernel_from_x6r(x6r)
+
+    def _megakernel_from_x6r(self, x6r):
+        """Run stem + branch kernels on a prebuilt rect-layout input."""
+        m = self.m
+        if self.mk_stem is None:
+            self._build_megakernel()
         # raw haloed chaining: each kernel's output keeps its zero halo,
         # and the factor-2 pool of the next level's input is the branch
         # kernel's in-kernel second output — no XLA pad/slice/pool ops

@@ -94,6 +94,20 @@ def space_to_depth_rect(x, fr: int, fc: int):
     return x.reshape(B, h, w, fr * fc * C)
 
 
+def space_to_depth_rect_sliced(x, fr: int, fc: int):
+    """Same permutation as :func:`space_to_depth_rect`, lowered as a
+    minor-dims reshape + ``fr`` strided row slices + one lane concat.
+
+    On TPU this avoids the 6-D transpose copy — measurably cheaper for
+    few-channel inputs (tools/microbench_s2d.py); bitwise identical:
+    lane ``(r·fc + b)·C + c`` receives ``x[:, fr·i + r, fc·j + b, c]``
+    in both forms.
+    """
+    B, H, W, C = x.shape
+    x2 = x.reshape(B, H, W // fc, fc * C)
+    return jnp.concatenate([x2[:, r::fr] for r in range(fr)], axis=-1)
+
+
 def depth_to_space_rect(x, fr: int, fc: int, C: int):
     """Inverse of :func:`space_to_depth_rect`."""
     B, h, w, _ = x.shape

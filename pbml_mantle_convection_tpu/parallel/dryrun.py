@@ -137,6 +137,17 @@ def run(n_devices: int) -> None:
           f"meanT={float(tr.mean_T[-1]):.3f} "
           f"devices={len(st.T.sharding.device_set)}")
 
+    # shard_map multi-sim rollout: one sim per device, per-device trace
+    # at local B=1 (the megakernel fast path per chip on TPU meshes),
+    # per-sim dt (parallel/rollout.py)
+    from pbml_mantle_convection_tpu.parallel.rollout import (
+        rollout_batch_sharded)
+    out = rollout_batch_sharded(eng, T0, 3, mesh)
+    jax.block_until_ready(out.T)
+    print(f"dryrun_multichip({n_devices}): shard_map per-sim rollout ok "
+          f"meanT={float(out.mean_T[-1].mean()):.3f} "
+          f"devices={len(out.T.sharding.device_set)}")
+
 
 if __name__ == "__main__":
     import sys

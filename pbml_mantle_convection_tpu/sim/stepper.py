@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import (
@@ -191,7 +192,42 @@ class TimeStepper:
     def stokes(self, T):
         """Surrogate Stokes solve from temperature: returns (u, v, p, V)
         in physical (unscaled) units. Reference:
-        pytorch_networks_convae.py:377-417."""
+        pytorch_networks_convae.py:377-417.
+
+        When ``apply_fn`` is a megakernel ``FastNewFluidNet``, the
+        input assembly is hoisted (bind_input_assembly): only the T
+        channel is relayouted per step — bitwise-identical outputs."""
+        fn = self.apply_fn
+        if hasattr(fn, "bind_input_assembly"):
+            if (getattr(fn, "_in_params", None) is not self.params
+                    or getattr(fn, "_in_static", None) is not self._static):
+                fn.bind_input_assembly(self._static, self.params)
+            if fn.input_hoisted:
+                V = jnp.clip(
+                    fk_viscosity(jnp.asarray(self.params.fkt, T.dtype),
+                                 jnp.asarray(self.params.fkp, T.dtype),
+                                 1.0 - self._static.yc_feat * COORD_SCALE,
+                                 T),
+                    1e-8, 1.0)
+                if T.shape[0] == 1:
+                    u, v, p = fn.apply_from_T(T)
+                else:
+                    # B>1: advance each sim through the B=1 megakernel
+                    # executor sequentially (lax.map) — on one chip this
+                    # out-throughputs the batched standard path ~2×
+                    # (PERF.md round 3, batched rollouts)
+                    p_pred = bool(getattr(fn.m, "p_pred", False))
+
+                    def one(Ti):
+                        uu, vv, pp = fn.apply_from_T(Ti[None])
+                        return ((uu[0], vv[0], pp[0]) if p_pred
+                                else (uu[0], vv[0]))
+
+                    outs = jax.lax.map(one, T)
+                    u, v = outs[0], outs[1]
+                    p = outs[2] if p_pred else None
+                s = self.scaler
+                return u * s, v * s, p, V
         x, V = assemble_fluidnet_input(T, self._static, self.params)
         u, v, p = self.apply_fn(x)
         s = self.scaler

@@ -226,3 +226,93 @@ def test_megakernel_tpu_numerics_bound():
     assert du > 1e-7
     # ... and stay inside the documented TPU noise class
     assert du < 2e-2 and dv < 2e-2
+
+
+def test_s2d_rect_sliced_bitwise():
+    """The sliced lowering of the rect s2d is the same permutation."""
+    from pbml_mantle_convection_tpu.ops.s2d import (
+        space_to_depth_rect, space_to_depth_rect_sliced)
+    rng = np.random.default_rng(3)
+    for (H, W, C) in [(8, 16, 1), (16, 32, 7), (6, 8, 3)]:
+        x = jnp.asarray(rng.normal(size=(1, H, W, C)), jnp.float32)
+        a = np.asarray(space_to_depth_rect(x, 2, 4))
+        b = np.asarray(space_to_depth_rect_sliced(x, 2, 4))
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape", [(16, 32), (16, 30)])
+def test_hoisted_input_assembly(shape):
+    """apply_from_T (T-only hoisted input relayout) equals the dense
+    assemble + __call__ route, and the hoisted stepper.stokes equals the
+    plain-module stokes — including on a ragged width."""
+    from pbml_mantle_convection_tpu.constants import SimParams
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    from pbml_mantle_convection_tpu.sim.stepper import (
+        TimeStepper, assemble_fluidnet_input)
+    H, W = shape
+    grid = Grid(H=H, W=W, aspect=(W - 2) / (H - 2), dtype="float32")
+    params_phys = SimParams(raq=3.0, fkt=1e6, fkp=10.0)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=2,
+                        f=5, p_pred=False)
+    T = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
+                 0.0, 1.0).astype(jnp.float32)[None]
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H, W, 7), jnp.float32))
+    fast = FastNewFluidNet(model, params, H, W, f=4, megakernel=True)
+
+    stepper = TimeStepper(grid=grid, params=params_phys, apply_fn=fast,
+                          cn_max=0.99, dtype=jnp.float32)
+    assert fast.bind_input_assembly(stepper._static, params_phys)
+
+    x, V_ref = assemble_fluidnet_input(T, stepper._static, params_phys)
+    u0, v0, _ = fast(x)
+    u1, v1, _ = fast.apply_from_T(T)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-7, atol=1e-9)
+
+    # the stepper route binds automatically, returns bitwise V and the
+    # same scaled velocities as the dense-assembly megakernel route
+    # (the lambda hides bind_input_assembly, forcing the dense path)
+    stepper_dense = TimeStepper(grid=grid, params=params_phys,
+                                apply_fn=lambda xx: fast(xx),
+                                cn_max=0.99, dtype=jnp.float32)
+    um, vm, _, Vm = stepper_dense.stokes(T)
+    uh, vh, _, Vh = stepper.stokes(T)
+    np.testing.assert_allclose(np.asarray(Vh), np.asarray(Vm),
+                               rtol=0, atol=0)
+    sc = float(np.abs(np.asarray(um)).max()) + 1e-30
+    assert float(np.abs(np.asarray(uh - um)).max()) / sc < 1e-6
+    assert float(np.abs(np.asarray(vh - vm)).max()) / sc < 1e-6
+
+
+def test_hoisted_input_assembly_retrace():
+    """Binding inside a jitted scan must not leak trace-time tracers
+    into a later retrace (regression: the hoisted constants are built
+    under ensure_compile_time_eval)."""
+    from pbml_mantle_convection_tpu.constants import SimParams
+    from pbml_mantle_convection_tpu.sim.engine import SimEngine
+    from pbml_mantle_convection_tpu.sim.grid import Grid
+    from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+    H, W = 16, 32
+    grid = Grid(H=H, W=W, aspect=(W - 2) / (H - 2), dtype="float32")
+    pp = SimParams(3.0, 1e8, 10.0)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=1,
+                        f=5, p_pred=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H, W, 7), jnp.float32))
+    fast = FastNewFluidNet(model, params, H, W, megakernel=True)
+    stepper = TimeStepper(grid=grid, params=pp, apply_fn=fast,
+                          dtype=jnp.float32)
+    eng = SimEngine(grid=grid, params=pp, stepper=stepper,
+                    dtype=jnp.float32)
+    T0 = jnp.clip(1.0 - grid.yc, 0, 1)[None]
+    state = eng.init_state(T0)
+    multi = jax.jit(eng.multi_step, static_argnums=1)
+    state, _ = multi(state, 2)        # binds inside this trace
+    state, tr = multi(state, 1)       # retrace must not see leaked trs
+    assert np.isfinite(float(tr.mean_T[-1]))
+    assert fast.input_hoisted

@@ -63,3 +63,55 @@ def test_batch_sharded_rollout_matches_single_device():
                                np.asarray(ref_state.T), rtol=1e-12)
     # the field really is distributed
     assert len(out_state.T.sharding.device_set) == 8
+
+def test_shard_map_rollout_matches_per_sim_runs():
+    """rollout_batch_sharded (one sim per device, shard_map) equals B
+    independent single-sim rollouts — per-sim dt, unlike the coupled-dt
+    batched engine semantics."""
+    from pbml_mantle_convection_tpu.parallel.rollout import (
+        rollout_batch_sharded)
+    eng = _engine()
+    mesh = make_mesh(8)
+    B = 8
+    rng = np.random.default_rng(1)
+    T0 = jnp.clip(
+        1.0 - eng.grid.yc[None]
+        + 0.1 * jnp.asarray(rng.normal(size=(B, eng.grid.H, eng.grid.W))),
+        0, 1)
+
+    out = rollout_batch_sharded(eng, T0, 10, mesh)
+    assert out.T.shape == (B, eng.grid.H, eng.grid.W)
+    assert out.t.shape == (B,)
+    assert out.mean_T.shape == (10, B)
+    assert len(out.T.sharding.device_set) == 8
+
+    multi = jax.jit(eng.multi_step, static_argnums=1)
+    for b in [0, 3, 7]:
+        st_b, tr_b = multi(eng.init_state(T0[b][None]), 10)
+        np.testing.assert_allclose(np.asarray(out.T[b]),
+                                   np.asarray(st_b.T[0]), rtol=1e-12)
+        np.testing.assert_allclose(float(out.t[b]), float(st_b.t),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.mean_T[:, b]),
+                                   np.asarray(tr_b.mean_T), rtol=1e-12)
+
+
+def test_shard_map_rollout_local_batch_gt1():
+    """B = 2×mesh: two sims per device via the in-body lax.map — still
+    per-sim dt semantics."""
+    from pbml_mantle_convection_tpu.parallel.rollout import (
+        rollout_batch_sharded)
+    eng = _engine()
+    mesh = make_mesh(4)
+    B = 8
+    rng = np.random.default_rng(2)
+    T0 = jnp.clip(
+        1.0 - eng.grid.yc[None]
+        + 0.1 * jnp.asarray(rng.normal(size=(B, eng.grid.H, eng.grid.W))),
+        0, 1)
+    out = rollout_batch_sharded(eng, T0, 6, mesh)
+    multi = jax.jit(eng.multi_step, static_argnums=1)
+    for b in [0, 5]:
+        st_b, _ = multi(eng.init_state(T0[b][None]), 6)
+        np.testing.assert_allclose(np.asarray(out.T[b]),
+                                   np.asarray(st_b.T[0]), rtol=1e-12)

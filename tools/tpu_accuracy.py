@@ -106,11 +106,23 @@ def run_ref(args, state_path):
                                         jnp.float64))
     eng = engine_for(lambda x: model.apply(weights, x))
     st = eng.init_state(T0)
-    st, trace = jax.jit(eng.multi_step, static_argnums=1)(st, args.steps)
+    # chunked scan (identical trajectory): progress is visible and the
+    # single-core f64 leg can be monitored instead of trusted blindly
+    step = jax.jit(eng.multi_step, static_argnums=1)
+    traces = []
+    done = 0
+    while done < args.steps:
+        k = min(50, args.steps - done)
+        st, tr = step(st, k)
+        traces.append(np.asarray(tr.mean_T))
+        done += k
+        print(f"ref: {done}/{args.steps} steps, "
+              f"meanT={float(st.T.mean()):.6f}", file=sys.stderr,
+              flush=True)
+    trace = np.concatenate(traces)
     flat = {f"w{i}": np.asarray(w)
             for i, w in enumerate(jax.tree.leaves(weights))}
-    np.savez(state_path, T=np.asarray(st.T), trace=np.asarray(trace.mean_T),
-             **flat)
+    np.savez(state_path, T=np.asarray(st.T), trace=trace, **flat)
     print(f"ref: {args.steps} steps done, meanT={float(st.T.mean()):.6f}",
           file=sys.stderr)
 
