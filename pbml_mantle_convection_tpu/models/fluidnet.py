@@ -77,6 +77,22 @@ class NewFluidNet(nn.Module):
         learned = self.r_p == "learned"
         pad_mode = "constant" if self.r_p == "zeros" else self.r_p
 
+        if learned:
+            # eager config check: the learned-padding BLC stitch slices
+            # slabs of width k+1 (k==5) from each edge; a branch pooled
+            # below that collapses to an empty VALID conv and fails with
+            # an opaque 0-size resize deep in the trace (the torch
+            # reference errors the same way at such sizes).
+            slab = self.f + 1 if self.f == 5 else self.f
+            hd = H // self.factor ** (self.levels - 1)
+            wd = W // self.factor ** (self.levels - 1)
+            if min(hd, wd) < slab:
+                raise ValueError(
+                    f"NewFluidNet: levels={self.levels} pools the deepest "
+                    f"branch of a {H}x{W} grid to {hd}x{wd}, below the "
+                    f"{slab}x{slab} minimum of the learned-padding k="
+                    f"{self.f} layers — reduce levels or enlarge the grid")
+
         x_in = _fluid_layer(
             self.c_h, self.act_fn, self.r_p, self.use_symm, self.dilation,
             self.f, self.drop_rate, self.spectral_conv, self.dtype,

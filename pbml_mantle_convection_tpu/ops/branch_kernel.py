@@ -58,6 +58,7 @@ Reference: pytorch_networks_convae.py:1022-1065 (BLC stitch),
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import numpy as np
@@ -724,6 +725,16 @@ class LayerStack:
                 for l in layers])      # (R, nslots, 3, 3, C, C)
         else:
             wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
+
+        # measurement knob (PERF.md "band-weight footprint"): tile the
+        # band-slot dim with unused zero slots so the per-layer streamed
+        # bytes scale by the factor with NO compute change — the
+        # steps/s delta isolates the pure weight-streaming cost that a
+        # sparsity-compacted band layout could at best win back.
+        probe = int(os.environ.get("PMC_BAND_STREAM_PROBE", "1"))
+        if probe > 1 and learned:
+            wband = np.concatenate(
+                [wband] + [np.zeros_like(wband)] * (probe - 1), axis=1)
 
         if groups is None:
             groups = max(1, co // min(4, co))

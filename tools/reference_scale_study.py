@@ -63,6 +63,10 @@ def build_parser():
     p.add_argument("--out-dir", type=str,
                    default=os.path.join(os.path.dirname(__file__), ".."))
     p.add_argument("--run-dir", type=str, default="/tmp/pmc_refscale")
+    p.add_argument("--device", choices=["default", "cpu"],
+                   default="default",
+                   help="cpu forces jax_platforms=cpu (the axon TPU "
+                        "relay overrides the JAX_PLATFORMS env var)")
     return p
 
 
@@ -78,6 +82,9 @@ def main(argv=None):
     eval_steps = args.eval_steps or args.steps
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pbml_mantle_convection_tpu.constants import SimParams
@@ -183,6 +190,15 @@ def main(argv=None):
     init_data = SnapshotDataset(ds_init, scale=True, dtype=dtype)
 
     # ---- 2. flagship training through Trainer (DP mesh + restart) ----
+    # learned-padding k=5 layers need >= 6 px in the deepest pooled
+    # branch (models/fluidnet.py eager check) — clamp for smoke grids
+    levels = args.levels
+    while levels > 1 and min(args.H, args.W) // 2 ** (levels - 1) < 6:
+        levels -= 1
+    if levels != args.levels:
+        print(f"[cfg] levels {args.levels} -> {levels} for the "
+              f"{args.H}x{args.W} smoke grid (deepest branch >= 6 px)")
+    args.levels = levels
     mc = ModelConfig(network="newfluidnet", levels=args.levels,
                      c_h=args.c_h, repeats=args.repeats, kernel=5,
                      r_p="learned", loss_type="curl", p_pred=False,
@@ -303,6 +319,7 @@ def main(argv=None):
         "",
     ]
     md = "\n".join(lines)
+    os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "STUDY_REFSCALE.md"), "w") as f:
         f.write(md)
     with open(os.path.join(args.out_dir, "STUDY_REFSCALE.json"),
