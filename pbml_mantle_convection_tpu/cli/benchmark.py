@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--raw-module", action="store_true",
                    help="time the plain Flax apply instead of the "
                         "rollout-optimized executor")
+    p.add_argument("--sharded", action="store_true",
+                   help="batch-sharded multi-sim rollout over ALL "
+                        "available devices (one sim per chip, per-chip "
+                        "megakernel path); degrades to 1 chip")
     return p
 
 
@@ -111,6 +115,44 @@ def main(argv=None):
                              0, 1).astype(dtype)
                     for b in range(args.batch)]) if args.batch > 1 \
         else T0_1[None]
+    if args.sharded:
+        # multi-chip throughput: one independent sim per device via
+        # shard_map (parallel/rollout.py) — each chip traces at local
+        # B=1 so it runs the megakernel executor; no collectives, so
+        # aggregate sim-steps/s scales linearly with mesh size.  On a
+        # single chip this measures the same program structure the
+        # multi-chip dryrun validates (__graft_entry__.dryrun_multichip).
+        import numpy as np
+        from jax.sharding import Mesh
+        from ..parallel.mesh import DATA_AXIS
+        from ..parallel.rollout import make_batch_sharded
+        devs = np.array(jax.devices())
+        n_dev = devs.size
+        B = args.batch if args.batch > 1 else n_dev
+        if B % n_dev:
+            raise SystemExit(f"--batch {B} not divisible by {n_dev} devices")
+        mesh = Mesh(devs, (DATA_AXIS,))
+        mk_T0 = lambda phase: jnp.stack(
+            [jnp.clip(1.0 - grid.yc
+                      + 0.05 * jnp.sin(6.28 * grid.xc + 0.37 * b + phase),
+                      0, 1).astype(dtype) for b in range(B)])
+        f = make_batch_sharded(engine, args.steps, mesh)
+        # warm with a DIFFERENT T0 than the timed call: the axon relay
+        # dedupes identical (program, args) dispatches (PERF.md)
+        out0 = f(mk_T0(0.11))
+        jax.block_until_ready(out0[0])
+        T0s = mk_T0(0.0)
+        t0 = time.perf_counter()
+        out1 = f(T0s)
+        jax.block_until_ready(out1[0])
+        sps = args.steps / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": f"sharded_rollout_{args.H}x{args.W}",
+            "value": round(sps * B, 2), "unit": "sim_steps/s",
+            "n_devices": int(n_dev), "batch": int(B),
+            "rollout_steps_per_s": round(sps, 2)}))
+        return sps * B
+
     state = engine.init_state(T0)
     from ..utils.jit import tpu_jit
     multi = tpu_jit(engine.multi_step, static_argnums=1)

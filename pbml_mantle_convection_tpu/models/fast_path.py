@@ -230,6 +230,9 @@ class FastNewFluidNet:
             TrunkStack asserts, evaluated eagerly): returns the reason
             string when the config can't run the kernels, else None."""
             from ..ops.branch_kernel import FR, FC
+            if jnp.dtype(dtype).itemsize > 4:
+                return f"dtype={jnp.dtype(dtype).name} (Mosaic has no " \
+                    "f64 vector path; f64 runs the standard fast path)"
             if k != 5:
                 return f"kernel={k} (needs 5)"
             if model.factor != 2:

@@ -134,3 +134,17 @@ def test_analyze_cli_figures(tmp_path):
     assert "profiles.png" in names
     assert "snapshot_gaia.png" in names and "snapshot_ml.png" in names
     assert "T_gaia.gif" in names and "T_ml.gif" in names
+
+
+def test_benchmark_cli_sharded(capsys):
+    """--sharded: one sim per device over the full (8-virtual-CPU) mesh;
+    the aggregate figure is per-rollout-step steps/s x batch."""
+    from pbml_mantle_convection_tpu.cli.benchmark import main
+    sps = main(["--what", "rollout", "--sharded", "-l", "2", "-r", "1",
+                "--H", "16", "--W", "24", "--steps", "2"])
+    assert sps > 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["unit"] == "sim_steps/s"
+    assert rec["n_devices"] == 8
+    assert rec["batch"] == 8
+    assert abs(rec["value"] - rec["rollout_steps_per_s"] * 8) < 0.05

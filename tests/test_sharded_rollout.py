@@ -115,3 +115,31 @@ def test_shard_map_rollout_local_batch_gt1():
         st_b, _ = multi(eng.init_state(T0[b][None]), 6)
         np.testing.assert_allclose(np.asarray(out.T[b]),
                                    np.asarray(st_b.T[0]), rtol=1e-12)
+
+
+def test_make_batch_sharded_callable_is_reusable():
+    """make_batch_sharded returns ONE jitted callable the bench harness
+    reuses across warm-up and timed T0s (no retrace between calls) —
+    and its results match the one-shot rollout_batch_sharded wrapper."""
+    from pbml_mantle_convection_tpu.parallel.rollout import (
+        make_batch_sharded, rollout_batch_sharded)
+    eng = _engine()
+    mesh = make_mesh(8)
+    B = 8
+    rng = np.random.default_rng(3)
+    mk = lambda: jnp.clip(
+        1.0 - eng.grid.yc[None]
+        + 0.1 * jnp.asarray(rng.normal(size=(B, eng.grid.H, eng.grid.W))),
+        0, 1)
+    T0_warm, T0 = mk(), mk()
+
+    f = make_batch_sharded(eng, 5, mesh)
+    f(T0_warm)  # warm-up with different data (axon-dedupe-safe pattern)
+    out = f(T0)
+    n_traces = f._cache_size()
+    assert n_traces == 1, f"callable retraced: {n_traces} cache entries"
+    ref = rollout_batch_sharded(eng, T0, 5, mesh)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref.T),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[7]),
+                               np.asarray(ref.mean_T), rtol=1e-12)
