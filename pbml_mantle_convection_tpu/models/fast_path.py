@@ -230,7 +230,10 @@ class FastNewFluidNet:
             TrunkStack asserts, evaluated eagerly): returns the reason
             string when the config can't run the kernels, else None."""
             from ..ops.branch_kernel import FR, FC
-            if jnp.dtype(dtype).itemsize > 4:
+            if (jnp.dtype(dtype).itemsize > 4
+                    and jax.default_backend() == "tpu"):
+                # interpret mode (CPU tests) evaluates the kernels in
+                # plain XLA and handles f64 fine
                 return f"dtype={jnp.dtype(dtype).name} (Mosaic has no " \
                     "f64 vector path; f64 runs the standard fast path)"
             if k != 5:
