@@ -120,21 +120,39 @@ class SnapshotDataset:
         self._xc = jnp.asarray(store.xc, d)
         self._yc = jnp.asarray(store.yc, d)
 
-        self._assemble = jax.jit(self._assemble_batch)
+        # the store arrays are passed to the jitted assembly as
+        # ARGUMENTS (a pytree), not read off ``self`` inside the traced
+        # function: closed-over device arrays embed as program
+        # constants, and at reference scale (hundreds of 128×506
+        # snapshots) the serialized program then exceeds what the
+        # remote-compile tunnel accepts (HTTP 413) — and bloats AOT
+        # caches everywhere else.
+        self._fields = {
+            "T": self._T, "u": self._u, "v": self._v,
+            "paras": self._paras, "paras_nd": self._paras_nd,
+            "scaler": self._scaler, "steps": self._steps,
+            "xc": self._xc, "yc": self._yc,
+        }
+        if self.p_pred:
+            self._fields["p"] = self._p
+        self._assemble_jit = jax.jit(self._assemble_batch)
+        self._assemble = lambda idx, key: self._assemble_jit(
+            self._fields, idx, key)
 
     def __len__(self):
         return self.num_examples
 
-    def _assemble_batch(self, idx, noise_key):
+    def _assemble_batch(self, F, idx, noise_key):
         """Gather + assemble (x, y, t_weight, scaler) for integer indices
-        idx: (B,). Runs on device (datasetio.py:595-654 semantics)."""
-        T = self._T[idx]
-        u = self._u[idx]
-        v = self._v[idx]
-        paras = self._paras[idx]
-        paras_nd = self._paras_nd[idx]
-        scaler = self._scaler[idx]
-        steps = self._steps[idx]
+        idx: (B,). Runs on device (datasetio.py:595-654 semantics);
+        ``F`` is the store-array pytree (see __init__)."""
+        T = F["T"][idx]
+        u = F["u"][idx]
+        v = F["v"][idx]
+        paras = F["paras"][idx]
+        paras_nd = F["paras_nd"][idx]
+        scaler = F["scaler"][idx]
+        steps = F["steps"][idx]
 
         if self.noise > 0:
             # uniform(-1e-5, 1e-5) on the [2:-2, 2:-2] interior, clipped to
@@ -146,12 +164,12 @@ class SnapshotDataset:
 
         V = fk_viscosity(paras[:, 1][:, None, None],
                          paras[:, 2][:, None, None],
-                         1.0 - self._yc[None], T)
+                         1.0 - F["yc"][None], T)
         V = jnp.clip(V, 1e-8, 1.0)
 
         b = T.shape[0]
-        xc = jnp.broadcast_to(self._xc / COORD_SCALE, T.shape)
-        yc = jnp.broadcast_to(self._yc / COORD_SCALE, T.shape)
+        xc = jnp.broadcast_to(F["xc"] / COORD_SCALE, T.shape)
+        yc = jnp.broadcast_to(F["yc"] / COORD_SCALE, T.shape)
 
         def plane(c):
             return jnp.broadcast_to(c[:, None, None], T.shape)
@@ -164,7 +182,7 @@ class SnapshotDataset:
             scaler)[:, None, None]
         ys = [u / s, v / s]
         if self.p_pred:
-            ys.append(self._p[idx])
+            ys.append(F["p"][idx])
         y = jnp.stack(ys, axis=1)
 
         t_weight = T_WEIGHT_NUM / (steps + 1.0) ** T_WEIGHT_POW
@@ -302,7 +320,20 @@ class TimePairDataset:
         self._xc = jnp.asarray(store.xc, d)
         self._yc = jnp.asarray(store.yc, d)
 
-        self._assemble = jax.jit(self._assemble_batch)
+        # store arrays travel as jit ARGUMENTS (see SnapshotDataset:
+        # closed-over device arrays embed as program constants and
+        # overflow the remote-compile tunnel at reference scale)
+        self._fields = {
+            "T": self._T, "u": self._u, "v": self._v,
+            "paras": self._paras, "paras_nd": self._paras_nd,
+            "scaler": self._scaler, "times": self._times,
+            "xc": self._xc, "yc": self._yc,
+        }
+        if self.p_pred:
+            self._fields["p"] = self._p
+        self._assemble_jit = jax.jit(self._assemble_batch)
+        self._assemble = lambda i0, i1: self._assemble_jit(
+            self._fields, i0, i1)
 
     def __len__(self):
         return len(self.pairs)
@@ -319,22 +350,22 @@ class TimePairDataset:
             pairs[mask] = repl
         return pairs
 
-    def _assemble_batch(self, idx0, idx1):
-        T0 = self._T[idx0]
-        u0 = self._u[idx0]
-        v0 = self._v[idx0]
-        paras = self._paras[idx0]
-        paras_nd = self._paras_nd[idx0]
-        scaler = self._scaler[idx0][:, None, None]
-        dt = (self._times[idx1] - self._times[idx0])[:, None, None]
+    def _assemble_batch(self, F, idx0, idx1):
+        T0 = F["T"][idx0]
+        u0 = F["u"][idx0]
+        v0 = F["v"][idx0]
+        paras = F["paras"][idx0]
+        paras_nd = F["paras_nd"][idx0]
+        scaler = F["scaler"][idx0][:, None, None]
+        dt = (F["times"][idx1] - F["times"][idx0])[:, None, None]
 
         V = fk_viscosity(paras[:, 1][:, None, None],
                          paras[:, 2][:, None, None],
-                         1.0 - self._yc[None], T0)
+                         1.0 - F["yc"][None], T0)
         Vf = visc_feature(V)
 
-        xc = jnp.broadcast_to(self._xc / COORD_SCALE, T0.shape)
-        yc = jnp.broadcast_to(self._yc / COORD_SCALE, T0.shape)
+        xc = jnp.broadcast_to(F["xc"] / COORD_SCALE, T0.shape)
+        yc = jnp.broadcast_to(F["yc"] / COORD_SCALE, T0.shape)
 
         def plane(c):
             return jnp.broadcast_to(c[:, None, None], T0.shape)
@@ -348,18 +379,18 @@ class TimePairDataset:
             # declares c_i=11 for p_pred but never assembles the channel
             # (datasetio.py:258-274 builds 10) — its p_pred U-Net cannot
             # run; we complete the contract instead.
-            chans.append(self._p[idx0])
+            chans.append(F["p"][idx0])
         x = jnp.stack(chans, axis=-1)
 
-        ys = [self._u[idx1] / scaler, self._v[idx1] / scaler]
+        ys = [F["u"][idx1] / scaler, F["v"][idx1] / scaler]
         if self.p_pred:
-            ys.append(self._p[idx1])
-        ys.append(self._T[idx1])
+            ys.append(F["p"][idx1])
+        ys.append(F["T"][idx1])
         y = jnp.stack(ys, axis=1)
 
         return {"x": x, "y": y, "scaler": scaler[:, 0, 0],
                 "paras": paras,
-                "yc": jnp.broadcast_to(self._yc[None], T0.shape)}
+                "yc": jnp.broadcast_to(F["yc"][None], T0.shape)}
 
     def batch(self, rng: np.random.Generator, batch_size: int):
         pair_idx = rng.integers(0, len(self.pairs), size=batch_size)
