@@ -784,7 +784,37 @@ class FastNewFluidNet:
                 raw_outs.append(y_h)
         return b0_raw, raw_outs, x6r
 
-    def _finish_mergek(self, b0_raw, raw_outs, x6r, H, W):
+    def apply_psi_from_T(self, T):
+        """(1, H, W) temperature → the dense (1, H, W) stream function
+        (merge-3 output channel 0, BEFORE mean subtraction / a_bound),
+        for the fused curl+advection epilogue
+        (ops/epilogue_kernel.py). Caller gates on curl config (no
+        blur, no p_pred); requires the hoisted input path."""
+        from ..ops.branch_kernel import FC, FR
+        from ..ops.s2d import space_to_depth_rect_sliced
+        from ..physics.viscosity import fk_viscosity
+        from ..constants import visc_feature
+        H, W = self.H, self.W
+        Tp = jnp.pad(T[..., None],
+                     ((0, 0), (0, 0), (0, self._in_padw), (0, 0)))
+        t6r = space_to_depth_rect_sliced(Tp, FR, FC)
+        p = self._in_params
+        V6 = jnp.clip(
+            fk_viscosity(jnp.asarray(p.fkt, T.dtype),
+                         jnp.asarray(p.fkp, T.dtype),
+                         self._in_z6r, t6r),
+            1e-8, 1.0)
+        vis6 = visc_feature(V6) * self._in_mask6r
+        hp = lax.Precision.HIGHEST
+        x6r = (self._in_static6r
+               + jnp.matmul(t6r, self._in_MT, precision=hp)
+               + jnp.matmul(vis6, self._in_MV, precision=hp))
+        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(x6r)
+        return self._finish_mergek(b0_raw, raw_outs, x6r, H, W,
+                                   return_psi=True)
+
+    def _finish_mergek(self, b0_raw, raw_outs, x6r, H, W,
+                       return_psi: bool = False):
         """Merge stage as three Pallas kernels (learned path).
 
         The trunk kernel (ops/merge_kernel.py) consumes the RAW haloed
@@ -813,6 +843,10 @@ class FastNewFluidNet:
                else self.merge3[2])
         psi6 = y3[1:hr + 1, 1:wc + 1, :FR * FC * c_o][None]
         y = depth_to_space_rect(psi6, FR, FC, c_o)[:, :H, :W, :]
+        if return_psi:
+            # raw stream function for the fused epilogue (the spatial
+            # mean cancels analytically in the curl derivatives)
+            return y[..., 0]
         y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
         if m.loss_type in ("mae", "mass"):
             u = y[..., 0]

@@ -154,6 +154,29 @@ class SimEngine:
             src = src - self.Di * v[..., 1:-1, 1:-1] * T[..., 1:-1, 1:-1]
         return src
 
+    def _fused_eligible(self) -> bool:
+        """Static gate for the fused curl+advection epilogue: scalar
+        heating source only (Di=0), fixed-bottom BC, f32, the standard
+        advection implementation, not explicitly disabled."""
+        import os
+        return (self.Di == 0.0 and not self.core_cool
+                and not self.stepper.use_pallas
+                and jnp.dtype(self.dtype).itemsize == 4
+                and not os.environ.get("PMC_NO_FUSED_EPILOGUE"))
+
+    def _epilogue(self):
+        """Lazily build (and cache) the fused epilogue kernel."""
+        epi = getattr(self, "_epi", None)
+        if epi is None:
+            from ..ops.epilogue_kernel import CurlAdvectEpilogue
+            epi = CurlAdvectEpilogue(
+                self.stepper._metrics, self.grid.H, self.grid.W,
+                a_bound=self.stepper.apply_fn.m.a_bound,
+                cn_max=self.stepper.cn_max, dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
+            object.__setattr__(self, "_epi", epi)
+        return epi
+
     def step_unet(self, state: SimState) -> SimState:
         """One coupled U-Net step: the network advances (u, v, T) jointly;
         dt comes from the driver-level CFL rule
@@ -212,6 +235,22 @@ class SimEngine:
                 p_s = state.p
             u, v, p = self.stokes_fn(T, V, (u_s, v_s, p_s))
         else:
+            sp = self._fused_eligible() and self.stepper.stokes_psi(T)
+            if sp:
+                # fused epilogue: curl head + advection + BCs/clip in
+                # one Pallas kernel (ops/epilogue_kernel.py) — replaces
+                # the ~0.09 ms/step of XLA glue after the merge-3
+                # megakernel. Numerically the reassociation-level
+                # deviation is bounded by tests; falls back below (and
+                # under PMC_NO_FUSED_EPILOGUE=1) to the XLA composition.
+                psi, V, s = sp
+                src = decay_heating(self.params.raq, state.t,
+                                    self.radioactive_decay, self.dtype)
+                u, v, T_new, dt = self._epilogue()(psi[0], T[0], s, src)
+                return SimState(
+                    T=T_new[None], u=u[None], v=v[None], p=state.p, V=V,
+                    t=state.t + dt, dt=dt, n_step=state.n_step + 1,
+                    T_core=state.T_core)
             u, v, p, V = self.stepper.stokes(T)
             if p is None:
                 p = state.p

@@ -235,6 +235,34 @@ class TimeStepper:
         v = v * s
         return u, v, p, V
 
+    def stokes_psi(self, T):
+        """Raw stream function + viscosity for the fused curl+advection
+        epilogue (ops/epilogue_kernel.py).
+
+        Returns (psi, V, scaler) when the megakernel T-only path is
+        active and the model is a plain curl head (no blur, no
+        pressure output); ``None`` otherwise (caller falls back to
+        :meth:`stokes` + the XLA advection composition).
+        """
+        fn = self.apply_fn
+        if not hasattr(fn, "apply_psi_from_T") or T.shape[0] != 1:
+            return None
+        m = fn.m
+        if (m.loss_type in ("mae", "mass") or getattr(m, "blurr", False)
+                or getattr(m, "p_pred", False)):
+            return None
+        if (getattr(fn, "_in_params", None) is not self.params
+                or getattr(fn, "_in_static", None) is not self._static):
+            fn.bind_input_assembly(self._static, self.params)
+        if not fn.input_hoisted:
+            return None
+        V = jnp.clip(
+            fk_viscosity(jnp.asarray(self.params.fkt, T.dtype),
+                         jnp.asarray(self.params.fkp, T.dtype),
+                         1.0 - self._static.yc_feat * COORD_SCALE, T),
+            1e-8, 1.0)
+        return fn.apply_psi_from_T(T), V, self.scaler
+
     def stokes_iterative(self, T, n_iter: int = 1):
         """The legacy ``ifluidnet`` iterative Stokes solve
         (pycold-checkpoint.py:322-343): the surrogate takes the previous
