@@ -659,20 +659,14 @@ class FastNewFluidNet:
         self.input_hoisted = True
         return True
 
-    def apply_from_T(self, T):
-        """(B, H, W) temperature → (u, v, p) via the hoisted input
-        assembly (:meth:`bind_input_assembly`).  Falls back to the
-        dense assemble + ``__call__`` when B != 1."""
+    def _x6r_from_T(self, T):
+        """Hoisted input assembly: (1, H, W) temperature → rect-layout
+        kernel input ``static6r + t6r·M_T + vis6r·M_V`` (two exact
+        HIGHEST-precision lane scatters; :meth:`bind_input_assembly`)."""
         from ..physics.viscosity import fk_viscosity
         from ..constants import visc_feature
-        if T.shape[0] != 1 or not self.input_hoisted:
-            from ..sim.stepper import assemble_fluidnet_input
-            x, _ = assemble_fluidnet_input(T, self._in_static,
-                                           self._in_params)
-            return self(x)
         from ..ops.branch_kernel import FC, FR
         from ..ops.s2d import space_to_depth_rect_sliced
-        H, W = self.H, self.W
         Tp = jnp.pad(T[..., None],
                      ((0, 0), (0, 0), (0, self._in_padw), (0, 0)))
         t6r = space_to_depth_rect_sliced(Tp, FR, FC)
@@ -684,10 +678,22 @@ class FastNewFluidNet:
             1e-8, 1.0)
         vis6 = visc_feature(V6) * self._in_mask6r
         hp = lax.Precision.HIGHEST
-        x6r = (self._in_static6r
-               + jnp.matmul(t6r, self._in_MT, precision=hp)
-               + jnp.matmul(vis6, self._in_MV, precision=hp))
-        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(x6r)
+        return (self._in_static6r
+                + jnp.matmul(t6r, self._in_MT, precision=hp)
+                + jnp.matmul(vis6, self._in_MV, precision=hp))
+
+    def apply_from_T(self, T):
+        """(B, H, W) temperature → (u, v, p) via the hoisted input
+        assembly (:meth:`bind_input_assembly`).  Falls back to the
+        dense assemble + ``__call__`` when B != 1."""
+        if T.shape[0] != 1 or not self.input_hoisted:
+            from ..sim.stepper import assemble_fluidnet_input
+            x, _ = assemble_fluidnet_input(T, self._in_static,
+                                           self._in_params)
+            return self(x)
+        H, W = self.H, self.W
+        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(
+            self._x6r_from_T(T))
         return self._finish_mergek(b0_raw, raw_outs, x6r, H, W)
 
     def __call__(self, x):
@@ -790,26 +796,9 @@ class FastNewFluidNet:
         for the fused curl+advection epilogue
         (ops/epilogue_kernel.py). Caller gates on curl config (no
         blur, no p_pred); requires the hoisted input path."""
-        from ..ops.branch_kernel import FC, FR
-        from ..ops.s2d import space_to_depth_rect_sliced
-        from ..physics.viscosity import fk_viscosity
-        from ..constants import visc_feature
         H, W = self.H, self.W
-        Tp = jnp.pad(T[..., None],
-                     ((0, 0), (0, 0), (0, self._in_padw), (0, 0)))
-        t6r = space_to_depth_rect_sliced(Tp, FR, FC)
-        p = self._in_params
-        V6 = jnp.clip(
-            fk_viscosity(jnp.asarray(p.fkt, T.dtype),
-                         jnp.asarray(p.fkp, T.dtype),
-                         self._in_z6r, t6r),
-            1e-8, 1.0)
-        vis6 = visc_feature(V6) * self._in_mask6r
-        hp = lax.Precision.HIGHEST
-        x6r = (self._in_static6r
-               + jnp.matmul(t6r, self._in_MT, precision=hp)
-               + jnp.matmul(vis6, self._in_MV, precision=hp))
-        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(x6r)
+        b0_raw, raw_outs, x6r = self._megakernel_from_x6r(
+            self._x6r_from_T(T))
         return self._finish_mergek(b0_raw, raw_outs, x6r, H, W,
                                    return_psi=True)
 

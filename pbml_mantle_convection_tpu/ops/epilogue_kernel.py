@@ -49,7 +49,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+# All ~11 (H, W) f32 operands of the single-block kernel must fit one
+# VMEM block (~16 MB/core): 11 · 4 B · H·W ≤ ~12 MB ⇒ bound H·W.
+# sim/engine.py gates on this and falls back to the XLA composition for
+# larger grids instead of failing to compile.
+FUSED_MAX_HW = 256 * 1024
 
 
 def _epilogue_kernel(dxl_ref, dxr_ref, dyt_ref, dyb_ref, psi_ref, t_ref,
@@ -152,14 +157,20 @@ class CurlAdvectEpilogue:
             ),
             interpret=interpret,
         )
-        self._consts = (jnp.asarray(dxl), jnp.asarray(dxr),
-                        jnp.asarray(dyt), jnp.asarray(dyb))
+        # Kept as NUMPY arrays on purpose: converting with jnp.asarray
+        # here would bake the conversion into whichever trace first
+        # builds the kernel, and caching those tracers across traces is
+        # exactly the UnexpectedTracerError that killed BENCH_r03
+        # (bench.py warmup n=20 then timed n=500 retrace). Numpy
+        # constants are embedded fresh into every trace.
+        self._consts = (dxl, dxr, dyt, dyb)
         self.dtype = dtype
 
     def __call__(self, psi, T, scaler, src):
         d = self.dtype
         s = jnp.broadcast_to(jnp.asarray(scaler, d), (1, 1))
         sr = jnp.broadcast_to(jnp.asarray(src, d), (1, 1))
-        u, v, tn, dt = self._call(*self._consts, psi.astype(d),
+        consts = tuple(jnp.asarray(c) for c in self._consts)
+        u, v, tn, dt = self._call(*consts, psi.astype(d),
                                   T.astype(d), s, sr)
         return u, v, tn, dt[0, 0]

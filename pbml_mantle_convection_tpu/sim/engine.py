@@ -154,28 +154,43 @@ class SimEngine:
             src = src - self.Di * v[..., 1:-1, 1:-1] * T[..., 1:-1, 1:-1]
         return src
 
-    def _fused_eligible(self) -> bool:
-        """Static gate for the fused curl+advection epilogue: scalar
-        heating source only (Di=0), fixed-bottom BC, f32, the standard
-        advection implementation, not explicitly disabled."""
+    def __post_init__(self):
+        # Build the fused curl+advection epilogue EAGERLY, outside any
+        # trace (BENCH_r03 died because the round-3 code built it lazily
+        # during the first jit trace and cached that trace's tracers on
+        # the engine — UnexpectedTracerError on retrace). The kernel
+        # itself holds only numpy constants now, but constructing it
+        # here also hoists the env-flag read and all static gates out of
+        # the per-step path. `_epi` is None whenever the fused path is
+        # statically ineligible.
         import os
-        return (self.Di == 0.0 and not self.core_cool
+        from ..ops.epilogue_kernel import FUSED_MAX_HW
+        env = os.environ.get("PMC_NO_FUSED_EPILOGUE", "")
+        fn = self.stepper.apply_fn
+        m = getattr(fn, "m", None)
+        epi = None
+        if (env in ("", "0")
+                and self.Di == 0.0 and not self.core_cool
                 and not self.stepper.use_pallas
                 and jnp.dtype(self.dtype).itemsize == 4
-                and not os.environ.get("PMC_NO_FUSED_EPILOGUE"))
-
-    def _epilogue(self):
-        """Lazily build (and cache) the fused epilogue kernel."""
-        epi = getattr(self, "_epi", None)
-        if epi is None:
+                and self.grid.H * self.grid.W <= FUSED_MAX_HW
+                and hasattr(fn, "apply_psi_from_T")
+                and m is not None
+                and m.loss_type not in ("mae", "mass")
+                and not getattr(m, "blurr", False)
+                and not getattr(m, "p_pred", False)):
             from ..ops.epilogue_kernel import CurlAdvectEpilogue
             epi = CurlAdvectEpilogue(
                 self.stepper._metrics, self.grid.H, self.grid.W,
-                a_bound=self.stepper.apply_fn.m.a_bound,
-                cn_max=self.stepper.cn_max, dtype=self.dtype,
+                a_bound=m.a_bound, cn_max=self.stepper.cn_max,
+                dtype=self.dtype,
                 interpret=jax.default_backend() != "tpu")
-            object.__setattr__(self, "_epi", epi)
-        return epi
+        object.__setattr__(self, "_epi", epi)
+
+    def _fused_eligible(self) -> bool:
+        """Static gate for the fused curl+advection epilogue — all the
+        conditions are evaluated once in __post_init__."""
+        return self._epi is not None
 
     def step_unet(self, state: SimState) -> SimState:
         """One coupled U-Net step: the network advances (u, v, T) jointly;
@@ -246,7 +261,7 @@ class SimEngine:
                 psi, V, s = sp
                 src = decay_heating(self.params.raq, state.t,
                                     self.radioactive_decay, self.dtype)
-                u, v, T_new, dt = self._epilogue()(psi[0], T[0], s, src)
+                u, v, T_new, dt = self._epi(psi[0], T[0], s, src)
                 return SimState(
                     T=T_new[None], u=u[None], v=v[None], p=state.p, V=V,
                     t=state.t + dt, dt=dt, n_step=state.n_step + 1,

@@ -133,6 +133,43 @@ def test_engine_step_fused_equivalence():
     assert np.all(np.isfinite(np.asarray(st_f.V)))
 
 
+def test_engine_multi_step_fused_retrace():
+    """Regression for the round-3 BENCH crash: jit engine.multi_step
+    through the fused-epilogue path at TWO different static lengths in
+    one process (exactly what bench.py does: warmup n=20, timed n=500).
+    The lazily-built kernel used to cache first-trace tracers on the
+    engine and die with UnexpectedTracerError on the second trace."""
+    eng_f, st_f = _mk_engine(disable_fused=False)
+    eng_x, st_x = _mk_engine(disable_fused=True)
+    assert eng_f._fused_eligible()
+
+    jit_f = jax.jit(eng_f.multi_step, static_argnums=1)
+    jit_x = jax.jit(eng_x.multi_step, static_argnums=1)
+
+    sf, trf = jit_f(st_f, 2)       # first trace
+    sf, trf = jit_f(sf, 3)         # RETRACE with a new static length
+    sx, trx = jit_x(st_x, 2)
+    sx, trx = jit_x(sx, 3)
+    np.testing.assert_allclose(np.asarray(sf.T), np.asarray(sx.T),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(trf.mean_T),
+                               np.asarray(trx.mean_T),
+                               rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(trf.t), np.asarray(trx.t),
+                               rtol=1e-4)
+
+    # and through an OUTER scan wrapping the step (rollout-shaped)
+    def outer(s, n):
+        def body(s, _):
+            s = eng_f.step(s)
+            return s, s.t
+        return jax.lax.scan(body, s, None, length=n)
+
+    s2, ts = jax.jit(outer, static_argnums=1)(st_f, 2)
+    s2, ts = jax.jit(outer, static_argnums=1)(s2, 3)
+    np.testing.assert_allclose(float(s2.t), float(sf.t), rtol=1e-5)
+
+
 def test_engine_fused_gates():
     """Ineligible configs (Di > 0, f64, core_cool) keep the XLA path."""
     eng, _ = _mk_engine(disable_fused=False)

@@ -56,6 +56,7 @@ def build_parser():
     p.add_argument("--levels", type=int, default=5)
     p.add_argument("--c_h", type=int, default=16)
     p.add_argument("--repeats", type=int, default=6)
+    p.add_argument("--n-train-sims", type=int, default=3)
     p.add_argument("--n-iter", type=int, default=20000,
                    help="PT iteration budget per solve (ptol early-stops)")
     p.add_argument("--eval-steps", type=int, default=0,
@@ -70,11 +71,46 @@ def build_parser():
     return p
 
 
-# the dataset's parameter ranges (constants.py:31-34 clip bounds;
-# prepare_gaia_ini.py:33-35): raq ∈ [~1, 9.4], fkt to 10^9.9, fkp to 100.
-# Train sims straddle the held-out point in all three axes.
+# Fallback parameter triples inside the dataset's ranges
+# (constants.py:31-34 clip bounds; prepare_gaia_ini.py:33-35):
+# raq ∈ [~1, 9.4], fkt to 10^9.9, fkp to 100. Used only when the real
+# sims.pt metadata (130 sims, tuples (id, split, raq, fkt, fkp, grid,
+# ar, path) — datasetio.py:33,96) is not mounted.
 TRAIN_PARAS = [(3.0, 1e6, 5.0), (5.0, 1e7, 10.0), (2.0, 3e6, 2.0)]
 HOLDOUT_PARA = (4.0, 3e6, 7.0)
+SIMS_PT = "/root/reference/Paper/FiguresData/sims.pt"
+BLACKLIST = (8, 39)  # datasetio.py:96
+
+
+def real_paras(n_train: int, fkt_max: float = 3e8):
+    """Select real (raq, fkt, fkp) triples from the mounted sims.pt:
+    ``n_train`` train-split sims plus one test-split holdout, skipping
+    the blacklist [8, 39] (datasetio.py:33,96). Deterministic: sims are
+    ranked by fkt and picked at even quantiles below ``fkt_max`` (the
+    PT-solver ground-truth generator is the practical bound — MUMPS
+    handles 10^9.9 contrasts, an explicit pseudo-transient solve on the
+    study's iteration budget does not). Returns (train_paras,
+    holdout_para, ids) or None when sims.pt is unavailable."""
+    try:
+        import torch
+        sims = torch.load(SIMS_PT, weights_only=False)
+    except Exception:
+        return None
+
+    def pick(split, k):
+        rows = sorted((s for s in sims
+                       if s[1] == split and s[0] not in BLACKLIST
+                       and s[3] <= fkt_max),
+                      key=lambda s: s[3])
+        idx = [round(i * (len(rows) - 1) / max(k - 1, 1))
+               for i in range(k)]
+        return [rows[i] for i in idx]
+
+    tr = pick("train", n_train)
+    ho = pick("test", 3)[1]  # the mid-quantile test sim
+    paras = [(float(s[2]), float(s[3]), float(s[4])) for s in tr]
+    return paras, (float(ho[2]), float(ho[3]), float(ho[4])), (
+        [int(s[0]) for s in tr], int(ho[0]))
 
 
 def main(argv=None):
@@ -100,6 +136,16 @@ def main(argv=None):
     from pbml_mantle_convection_tpu.utils.evaluation import (
         compare_rollouts, pearson, temperature_rmse)
 
+    sel = real_paras(args.n_train_sims)
+    if sel is not None:
+        train_paras, holdout_para, (train_ids, holdout_id) = sel
+        print(f"[paras] real sims.pt triples: train ids {train_ids}, "
+              f"holdout id {holdout_id} (test split)")
+    else:
+        train_paras, holdout_para = TRAIN_PARAS, HOLDOUT_PARA
+        train_ids, holdout_id = None, None
+        print("[paras] sims.pt unavailable; using fallback triples")
+
     dev = jax.devices()[0].platform
     dtype = jnp.float32
     grid = Grid(H=args.H, W=args.W,
@@ -107,7 +153,7 @@ def main(argv=None):
     print(f"device={dev} grid={args.H}x{args.W} aspect={grid.aspect:.2f}")
 
     null_stepper = TimeStepper(
-        grid=grid, params=SimParams(*TRAIN_PARAS[0]),
+        grid=grid, params=SimParams(*train_paras[0]),
         apply_fn=lambda x: (None, None, None), dtype=dtype)
 
     def t_init(seed):
@@ -147,7 +193,7 @@ def main(argv=None):
     # ---- 1. ground-truth data ----
     t_start = time.time()
     all_snaps, all_paras, all_steps, all_sids = [], [], [], []
-    for sid, paras in enumerate(TRAIN_PARAS):
+    for sid, paras in enumerate(train_paras):
         t0 = time.time()
         _, snaps, _, _ = gaia_rollout(paras, seed=100 + sid,
                                       n_steps=args.steps)
@@ -234,8 +280,8 @@ def main(argv=None):
                        jnp.zeros((1, args.H, args.W, 7), dtype))
 
     # ---- 3. held-out evaluation ----
-    params_h = SimParams(*HOLDOUT_PARA)
-    st_ref, _, tv_ref, mT_ref = gaia_rollout(HOLDOUT_PARA, seed=999,
+    params_h = SimParams(*holdout_para)
+    st_ref, _, tv_ref, mT_ref = gaia_rollout(holdout_para, seed=999,
                                              n_steps=eval_steps)
     T_ref = np.asarray(st_ref.T[0])
 
@@ -289,12 +335,14 @@ def main(argv=None):
         f"(init-batch mixing, MultiStepLR, reference-format loss log, "
         f"mid-run checkpoint restart at epoch {half}) on a "
         f"{len(ds_main)}-snapshot multi-sim store: "
-        f"{len(TRAIN_PARAS)} GAIA simulations at {args.H}x{args.W}, "
+        f"{len(train_paras)} GAIA simulations at {args.H}x{args.W} "
+        f"(sims.pt train ids {train_ids}), "
         f"{args.steps} converged-PT-solve steps each "
-        f"(fkt up to {max(p[1] for p in TRAIN_PARAS):.0e}; "
-        "physics/stokes.py with ptol early stopping). Held-out sim: "
-        f"raq={HOLDOUT_PARA[0]}, fkt={HOLDOUT_PARA[1]:.0e}, "
-        f"fkp={HOLDOUT_PARA[2]} — params unseen in training. "
+        f"(fkt up to {max(p[1] for p in train_paras):.0e}; "
+        "physics/stokes.py with ptol early stopping). Held-out sim "
+        f"(sims.pt test id {holdout_id}): "
+        f"raq={holdout_para[0]:.3f}, fkt={holdout_para[1]:.2e}, "
+        f"fkp={holdout_para[2]:.3f} — params unseen in training. "
         f"device={dev}, {args.epochs} epochs, DP mesh over {n_dev} "
         f"device(s), wall {train_wall:.0f}s. "
         "(tools/reference_scale_study.py; reference: "
@@ -327,8 +375,10 @@ def main(argv=None):
         json.dump({"grid": [args.H, args.W], "epochs": args.epochs,
                    "steps": args.steps, "device": dev,
                    "n_devices": n_dev, "train_wall_s": train_wall,
-                   "train_paras": TRAIN_PARAS,
-                   "holdout_para": HOLDOUT_PARA,
+                   "train_paras": train_paras,
+                   "holdout_para": holdout_para,
+                   "train_sim_ids": train_ids,
+                   "holdout_sim_id": holdout_id,
                    "margin": margin, "rows": rows}, f, indent=1)
     print(md)
     return rows
