@@ -35,8 +35,12 @@ def main():
     on_accel = backend not in ("cpu",)
     log(f"backend={backend} devices={jax.devices()}")
 
+    import os
+    H = int(os.environ.get("PMC_BENCH_H", "256"))
+    W = int(os.environ.get("PMC_BENCH_W", "256"))
     dtype = jnp.float32
-    grid = Grid(H=256, W=256, aspect=1.0, dtype="float32")
+    grid = Grid(H=H, W=W, aspect=(W - 2) / (H - 2) if H != W else 1.0,
+                dtype="float32")
     params_phys = SimParams(raq=3.0, fkt=1e8, fkp=10.0)
 
     model = NewFluidNet(
@@ -87,7 +91,7 @@ def main():
     assert bool(jnp.all(jnp.isfinite(state.T))), "rollout diverged"
 
     print(json.dumps({
-        "metric": "coupled_rollout_steps_per_s_256x256",
+        "metric": f"coupled_rollout_steps_per_s_{H}x{W}",
         "value": round(best, 2),
         "unit": "steps/s",
         "vs_baseline": round(best / 1000.0, 4),

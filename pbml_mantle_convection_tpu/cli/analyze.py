@@ -251,12 +251,62 @@ def write_figures(runs, truth, out_dir: str, gif: bool = True):
     return written
 
 
+def write_scalings_figure(pkl_path: str, out_dir: str):
+    """The paper's scaling-law figure (Paper/figures.ipynb cells 1-2)
+    from a ``scalings.pkl``: per-simulation min–max ranges of T, V, P
+    and of the raw vs scaling-law-normalized velocities, plotted
+    against RaQ. The 15 arrays are (raq, fkt, fkp, u_mi, u_ma, v_mi,
+    v_ma, p_mi, p_ma, V_mi, V_ma, T_mi, T_ma, dt_mi, dt_ma); the
+    velocity normalizer is the C1 scaling law (scaler.py:4-36). The
+    notebook's "unscaled" panels divide by the global |u,v| range
+    (its ``uv_std`` — defined only in a comment there; reproduced
+    here as written)."""
+    import pickle as _pickle
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..constants import velocity_scaler
+
+    with open(pkl_path, "rb") as f:
+        (raq, fkt, fkp, u_mi, u_ma, v_mi, v_ma, p_mi, p_ma,
+         V_mi, V_ma, T_mi, T_ma, dt_mi, dt_ma) = _pickle.load(f)
+    raq, fkt, fkp = (np.asarray(a, float) for a in (raq, fkt, fkp))
+    s = velocity_scaler(raq, fkt, fkp)
+    uv_std = (np.max(np.abs([u_mi, u_ma, v_mi, v_ma]))
+              - np.min(np.abs([u_mi, u_ma, v_ma, v_ma])))
+
+    panels = [
+        ("T", T_mi, T_ma), ("V", V_mi, V_ma), ("P", p_mi, p_ma),
+        ("Unscaled u", u_mi / uv_std, u_ma / uv_std),
+        ("Unscaled v", v_mi / uv_std, v_ma / uv_std),
+        ("dt", dt_mi, dt_ma), ("Scaled u", u_mi / s, u_ma / s),
+        ("Scaled v", v_mi / s, v_ma / s),
+    ]
+    fig = plt.figure(figsize=(15, 6), dpi=160)
+    for k, (title, lo, hi) in enumerate(panels):
+        ax = fig.add_subplot(2, 4, k + 1)
+        for i in range(len(raq)):
+            ax.plot([raq[i], raq[i]], [lo[i], hi[i]], "b-", lw=0.8)
+        ax.set_xlabel("Q")
+        ax.set_title(title)
+        if k % 4 == 0:
+            ax.set_ylabel("Min-Max")
+    fig.tight_layout()
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, "scalings.png")
+    fig.savefig(p)
+    plt.close(fig)
+    return p
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="pmc-analyze",
         description="Compare rollout run directories against a solver "
                     "baseline (load_advection_results cells 3-6).")
-    ap.add_argument("runs", nargs="+",
+    ap.add_argument("runs", nargs="*",
                     help="run directories (sim/rollout.py pickle sets)")
     ap.add_argument("--truth", default=None,
                     help="baseline run directory (default: the first "
@@ -272,7 +322,19 @@ def main(argv=None):
                     help="write trace/snapshot/profile figures and "
                          "per-run T gifs to DIR (the notebook's plot "
                          "and gif cells)")
+    ap.add_argument("--scalings", default=None, metavar="PKL",
+                    help="write the paper's scaling-law figure "
+                         "(Paper/figures.ipynb) from a scalings.pkl to "
+                         "--figures DIR (default '.')")
     args = ap.parse_args(argv)
+
+    if args.scalings:
+        p = write_scalings_figure(args.scalings, args.figures or ".")
+        print(f"scalings figure: {p}")
+        if not args.runs:
+            return [p]
+    elif not args.runs:
+        ap.error("no run directories given (and no --scalings)")
 
     runs = [load_run(d, args.mode) for d in args.runs]
     if args.truth is not None:
