@@ -77,32 +77,79 @@ def test_kernel_matches_composition(H, W):
     np.testing.assert_allclose(u1[1:-1, 0], -u1[1:-1, 1])
 
 
-def _mk_engine(disable_fused: bool):
-    H, W = 16, 32
+class _PsiNet:
+    """Minimal apply_fn implementing the fused-epilogue surrogate
+    contract (``apply_psi_from_T`` + curl-head ``__call__`` /
+    ``apply_from_T``) WITHOUT the Pallas megakernel executor, so the
+    engine-level fused-vs-XLA tests run in seconds under CPU interpret
+    mode (the only interpreted kernel left is the small epilogue
+    itself). The heavy real-executor variant is the ``slow``-marked
+    test below."""
+
+    class _M:
+        loss_type = "curl"
+        blurr = False
+        p_pred = False
+        a_bound = 4.0
+
+    m = _M()
+    input_hoisted = True
+
+    def bind_input_assembly(self, static, params):
+        self._in_static = static
+        self._in_params = params
+        return True
+
+    @staticmethod
+    def _psi(T):
+        # smooth nonlinear map standing in for the merge-3 output
+        return (jnp.tanh(2.0 * T) + 0.3 * jnp.roll(T, 1, axis=-1)
+                - 0.2 * jnp.roll(T, 2, axis=-2))
+
+    def apply_psi_from_T(self, T):
+        return self._psi(T)
+
+    def apply_from_T(self, T):
+        y = self._psi(T)
+        y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
+        u, v = curl_head_padded(y * self.m.a_bound)
+        return u, v, None
+
+    def __call__(self, x):
+        return self.apply_from_T(x[..., 6])
+
+
+def _mk_engine(disable_fused: bool, apply_fn=None, H=16, W=32):
     grid = Grid(H=H, W=W, aspect=(W - 2) / (H - 2), dtype="float32")
-    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
-                        r_p="learned", loss_type="curl", repeats=2, f=5,
-                        p_pred=False)
-    x = jnp.zeros((1, H, W, 7), F32)
-    params = model.init(jax.random.PRNGKey(0), x)
-    fast = FastNewFluidNet(model, params, H, W, megakernel=True)
+    if apply_fn is None:
+        apply_fn = _PsiNet()
     pp = SimParams(3.0, 1e8, 10.0)
-    stepper = TimeStepper(grid=grid, params=pp, apply_fn=fast,
+    stepper = TimeStepper(grid=grid, params=pp, apply_fn=apply_fn,
                           cn_max=0.99, dtype=F32)
     eng = SimEngine(grid=grid, params=pp, stepper=stepper, dtype=F32)
     if disable_fused:
-        # force the XLA composition without the env flag (the gate is
-        # evaluated per step call)
+        # force the XLA composition without the env flag
         object.__setattr__(eng, "_fused_eligible", lambda: False)
     T0 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
                   0, 1).astype(F32)
     return eng, eng.init_state(T0[None])
 
 
+def _mk_megakernel_engine(disable_fused: bool):
+    H, W = 16, 32
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
+                        r_p="learned", loss_type="curl", repeats=2, f=5,
+                        p_pred=False)
+    x = jnp.zeros((1, H, W, 7), F32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    fast = FastNewFluidNet(model, params, H, W, megakernel=True)
+    return _mk_engine(disable_fused, apply_fn=fast, H=H, W=W)
+
+
 def test_engine_step_fused_equivalence():
     """engine.step through the fused epilogue == the XLA composition
-    (same megakernel surrogate) at reassociation-level tolerance,
-    including across several coupled steps."""
+    (same surrogate) at reassociation-level tolerance, including
+    across several coupled steps."""
     eng_f, st_f = _mk_engine(disable_fused=False)
     eng_x, st_x = _mk_engine(disable_fused=True)
     assert eng_f._fused_eligible()
@@ -131,6 +178,25 @@ def test_engine_step_fused_equivalence():
                                rtol=1e-2, atol=1e-2)
     # the fused path leaves p untouched and fills V
     assert np.all(np.isfinite(np.asarray(st_f.V)))
+
+
+@pytest.mark.slow
+def test_engine_step_fused_equivalence_megakernel():
+    """Same equivalence through the REAL megakernel executor (interpret
+    mode — heavyweight; the fast _PsiNet variant above runs by
+    default)."""
+    eng_f, st_f = _mk_megakernel_engine(disable_fused=False)
+    eng_x, st_x = _mk_megakernel_engine(disable_fused=True)
+    assert eng_f._fused_eligible()
+    st_f = eng_f.step(st_f)
+    st_x = eng_x.step(st_x)
+    np.testing.assert_allclose(np.asarray(st_f.T), np.asarray(st_x.T),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(st_f.u), np.asarray(st_x.u),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(st_f.v), np.asarray(st_x.v),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(st_f.t), float(st_x.t), rtol=1e-5)
 
 
 def test_engine_multi_step_fused_retrace():

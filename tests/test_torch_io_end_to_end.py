@@ -169,8 +169,10 @@ def test_train_through_trainer_from_pt_tree(pt_tree, tmp_path):
     tr.train()
     # Trainer nests the run under nn_dir/<run_name> (multigpu.py's
     # hyperparameter-encoded directory)
+    from pbml_mantle_convection_tpu.train.trainer import parse_loss_log
     log = os.path.join(tr.nn_dir, "fluidnet_uvpT.txt")
     assert os.path.exists(log)
-    rows = np.loadtxt(log)
-    assert rows.reshape(-1, rows.shape[-1]).shape[0] == 2
-    assert np.isfinite(rows).all()
+    entries = parse_loss_log(log)
+    assert len(entries) == 2
+    for e in entries:
+        assert np.isfinite(e["train"]).all() and np.isfinite(e["cv"]).all()
