@@ -40,7 +40,8 @@ def _layer_dict(tree, learned):
 
 
 @pytest.mark.parametrize("r_p", ["learned", "zeros"])
-@pytest.mark.parametrize("shape", [(16, 24), (16, 16)])
+@pytest.mark.parametrize("shape", [
+    (16, 24), pytest.param((16, 16), marks=pytest.mark.slow)])
 def test_stack_matches_fluid_layers(r_p, shape):
     H, W = shape
     k, C = 5, 16
@@ -105,7 +106,9 @@ def test_stem_stack_cin_ne_cout():
 
 
 @pytest.mark.parametrize("r_p", ["learned", "zeros"])
-@pytest.mark.parametrize("W", [18, 19, 21])      # w_rem = 2, 3, 1
+@pytest.mark.parametrize("W", [
+    18, pytest.param(19, marks=pytest.mark.slow),
+    pytest.param(21, marks=pytest.mark.slow)])   # w_rem = 2, 3, 1
 def test_stack_ragged_width(r_p, W):
     """Non-4-divisible widths run on a ragged last block column
     (_ragged_plan): pad lane groups stay exact zeros, GroupNorm
@@ -140,7 +143,8 @@ def test_stack_ragged_width(r_p, W):
     np.testing.assert_array_equal(dense[:, W:], 0.0)
 
 
-@pytest.mark.parametrize("W", [18, 21])   # pooled widths 9 (ragged), 10
+@pytest.mark.parametrize("W", [
+    18, pytest.param(21, marks=pytest.mark.slow)])  # pooled width 9 ragged
 def test_stack_ragged_pool(W):
     """The in-kernel factor-2 pool on a ragged width follows the torch
     floor semantics (trailing odd col dropped) and keeps the pooled

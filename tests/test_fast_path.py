@@ -97,7 +97,8 @@ class TestFastNewFluidNet:
     def test_learned_divisible_grid(self):
         _check_model("learned", 32, 64)
 
-    @pytest.mark.parametrize("r_p", ["learned", "zeros"])
+    @pytest.mark.parametrize("r_p", [
+        "learned", pytest.param("zeros", marks=pytest.mark.slow)])
     def test_megakernel_full_model(self, r_p):
         """B=1 on a fully divisible grid routes through the whole-branch
         Pallas megakernel (ops/branch_kernel.py); must equal the module."""
@@ -155,8 +156,12 @@ def test_fast_inexact_mode_close():
     assert float(jnp.max(jnp.abs(u1 - u0))) / scale < 0.02
 
 
-@pytest.mark.parametrize("r_p", ["learned", "zeros"])
-@pytest.mark.parametrize("shape", [(16, 30, 2), (16, 29, 2), (32, 54, 3)])
+@pytest.mark.parametrize("r_p", [
+    "learned", pytest.param("zeros", marks=pytest.mark.slow)])
+@pytest.mark.parametrize("shape", [
+    (16, 30, 2),
+    pytest.param((16, 29, 2), marks=pytest.mark.slow),
+    pytest.param((32, 54, 3), marks=pytest.mark.slow)])
 def test_megakernel_ragged_width(r_p, shape):
     """Non-4-divisible widths route through the megakernel path on a
     ragged last block column (ops/branch_kernel._ragged_plan) — the
@@ -240,7 +245,8 @@ def test_s2d_rect_sliced_bitwise():
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("shape", [(16, 32), (16, 30)])
+@pytest.mark.parametrize("shape", [
+    (16, 32), pytest.param((16, 30), marks=pytest.mark.slow)])
 def test_hoisted_input_assembly(shape):
     """apply_from_T (T-only hoisted input relayout) equals the dense
     assemble + __call__ route, and the hoisted stepper.stokes equals the
