@@ -135,6 +135,7 @@ def main(argv=None):
                                                           Trainer)
     from pbml_mantle_convection_tpu.utils.evaluation import (
         compare_rollouts, pearson, temperature_rmse)
+    from pbml_mantle_convection_tpu.utils.jit import tpu_jit
 
     sel = real_paras(args.n_train_sims)
     if sel is not None:
@@ -300,7 +301,10 @@ def main(argv=None):
                         mode=mode, dtype=dtype, **kw)
         state = eng.init_state(t_init(999))
         t0 = time.time()
-        state, trace = jax.jit(eng.multi_step, static_argnums=1)(
+        # tpu_jit raises the scoped-VMEM limit the megakernel executor
+        # needs at 128×506 (utils/jit.py; plain jax.jit OOMs at the
+        # 16 MB default)
+        state, trace = tpu_jit(eng.multi_step, static_argnums=1)(
             state, eval_steps)
         jax.block_until_ready(state.T)
         wall = time.time() - t0
