@@ -125,17 +125,18 @@ def gelu_fast_kernel(x):
     return 0.5 * x * (1.0 + t * p)
 
 
-# the 8 BLC band kernels stacked into Wband, in output-region order
-# (flip quirk applied — see module docstring)
+# the 8 BLC band kernels feeding Wband, in output-region order (flip
+# quirk applied — see module docstring); packed 2-per-slot into 5
+# streamed slots by ``_band_slots``
 _BAND_SOURCES = (
-    "conv_bottom",        # 0: top output rows {0, 1}
-    "conv_top",           # 1: bottom output rows {H-2, H-1}
-    "conv_left",          # 2: left output cols {0, 1}
-    "conv_right",         # 3: right output cols {W-2, W-1}
-    "conv_bottom_left",   # 4: top-left corner block
-    "conv_bottom_right",  # 5: top-right corner block
-    "conv_top_left",      # 6: bottom-left corner block
-    "conv_top_right",     # 7: bottom-right corner block
+    "conv_bottom",        # top output rows {0, 1}
+    "conv_top",           # bottom output rows {H-2, H-1}
+    "conv_left",          # left output cols {0, 1}
+    "conv_right",         # right output cols {W-2, W-1}
+    "conv_bottom_left",   # top-left corner block
+    "conv_bottom_right",  # top-right corner block
+    "conv_top_left",      # bottom-left corner block
+    "conv_top_right",     # bottom-right corner block
 )
 
 
@@ -171,10 +172,15 @@ def _ragged_plan(W: int, co: int, C: int, wc_run: int = None):
     block column, so the single pre-folded lane permutation of the
     aligned path splits into:
 
-    * per distinct center block col ``e`` — one folded weight copy
-      whose output lanes land on the *target* lane groups;
-    * per target block col ``t`` — select masks (one per contributing
-      eval) and a keep mask for the untouched lanes.
+    The right-edge band weights share ONE packed slot with the left
+    band (see ``_band_slots``): each output dense col ``o`` is *parked*
+    on its own lane group pb(o) ∈ {2, 3} — disjoint from the left
+    band's b∈{0,1} target lanes — by the packed fold ``Fpark``, and
+    un-parked at assembly time by a per-(eval, target) 0/1 extraction
+    matrix ``umap[(e, t)]`` (park lane → true target lane d(o), zero
+    elsewhere — it subsumes the select mask). Parking costs one
+    HIGHEST-precision thin-strip matmul per use but removes the
+    per-eval weight-slot copies from the streamed band bytes.
 
     Returns None when W is aligned and there are no trailing pad
     blocks, else a dict of numpy constants + static indices consumed by
@@ -189,22 +195,24 @@ def _ragged_plan(W: int, co: int, C: int, wc_run: int = None):
     outs = (W - 2, W - 1)
     evals = tuple(sorted({(o - 2) // FC for o in outs}))
     targets = tuple(sorted({o // FC for o in outs}))
-    folds = {e: np.zeros((C, C), np.float32) for e in evals}
-    sels = {}
-    for o in outs:
+    Fpark = np.zeros((C, C), np.float32)
+    umap = {}
+    for oi, o in enumerate(outs):
         e, s = divmod(o - 2, FC)
         t, d = divmod(o, FC)
-        m = sels.setdefault((e, t), np.zeros((C,), np.float32))
+        pb = 2 + oi                     # unique park lane group per out
+        U = umap.setdefault((e, t), np.zeros((C, C), np.float32))
         for a in range(FR):
             for c in range(co):
-                folds[e][(a * FC + s) * co + c, (a * FC + d) * co + c] = 1.0
-                m[(a * FC + d) * co + c] = 1.0
+                Fpark[(a * FC + s) * co + c,
+                      (a * FC + pb) * co + c] = 1.0
+                U[(a * FC + pb) * co + c, (a * FC + d) * co + c] = 1.0
     keeps = {}
     for t in targets:
         u = np.zeros((C,), np.float32)
-        for e in evals:
-            if (e, t) in sels:
-                u = np.maximum(u, sels[(e, t)])
+        for (e, tt), U in umap.items():
+            if tt == t:
+                u = np.maximum(u, (U.sum(axis=0) > 0).astype(np.float32))
         keeps[t] = 1.0 - u
     # keep-mask for valid lane groups of the last block col (pad lane
     # groups b >= w_rem zeroed each layer — the stored field keeps
@@ -216,56 +224,70 @@ def _ragged_plan(W: int, co: int, C: int, wc_run: int = None):
             lo = (a * FC + b) * co
             pad_mask[lo:lo + co] = 1.0
     return dict(wc=wc_run, w_rem=w_rem, eb=wc - 1, evals=evals,
-                targets=targets, folds=folds, sels=sels, keeps=keeps,
+                targets=targets, Fpark=Fpark, umap=umap, keeps=keeps,
                 pad_mask=pad_mask)
 
 
 def _band_slots(plan, P23, P01):
-    """Static band-weight slot list [(source_name, fold_or_None), …]
-    for the learned path — the aligned 8-slot layout, or the plan's
-    per-eval expanded right-edge slots."""
-    if plan is None:
-        _fold = {2: P23, 3: P01, 4: P23, 5: P01, 6: P23, 7: P01}
-        return [(nm, _fold.get(i)) for i, nm in enumerate(_BAND_SOURCES)]
-    slots = [("conv_bottom", None), ("conv_top", None),
-             ("conv_left", P23)]
-    slots += [("conv_right", plan["folds"][e]) for e in plan["evals"]]
-    slots += [("conv_bottom_left", P23), ("conv_top_left", P23)]
-    slots += [("conv_bottom_right", plan["folds"][e])
-              for e in plan["evals"]]
-    slots += [("conv_top_right", plan["folds"][e])
-              for e in plan["evals"]]
-    return slots
+    """Static PACKED band-weight slot list — always 5 slots, each a
+    list of ``(source_name, fold_or_None)`` members whose folded
+    weights are summed into one streamed (3,3,C,C) matrix:
+
+    0. top output rows (conv_bottom) — dense, unpacked;
+    1. bottom output rows (conv_top) — dense, unpacked;
+    2. left band (→ lanes b∈{0,1}) ⊕ right band (→ b∈{2,3} aligned,
+       or the plan's park lanes when ragged);
+    3. bottom-left ⊕ bottom-right corners (same lane split);
+    4. top-left ⊕ top-right corners.
+
+    The members' live output lane groups are disjoint, so one matrix
+    carries both; use sites extract their half with the b01/b23 masks
+    (aligned) or the plan's un-park matrices (ragged). Versus the old
+    one-slot-per-source layout this removes 3 (aligned) to 6 (ragged
+    nE=2) of the streamed (C, C) tap matrices per layer — the band
+    stream measured at ~9% of the step (PERF.md band footprint)."""
+    right = P01 if plan is None else plan["Fpark"]
+    return [
+        [("conv_bottom", None)],
+        [("conv_top", None)],
+        [("conv_left", P23), ("conv_right", right)],
+        [("conv_bottom_left", P23), ("conv_bottom_right", right)],
+        [("conv_top_left", P23), ("conv_top_right", right)],
+    ]
 
 
 def _perm_rows(plan, m01, m23, pool_mask=None):
     """Stack the lane-mask rows consumed in-kernel via ``perm_ref`` and
-    return (rows, ragged_static, pool_mask_row). Row 0/1 are the
+    return (rows, ragged_static, pool_mask_row, uexts). Row 0/1 are the
     aligned-path keep masks; a ragged plan appends its pad keep mask
-    and the per-target keep/select masks (static row indices)."""
+    and the per-target keep masks, and stacks the un-park extraction
+    matrices into ``uexts`` ((nU, C, C) or None) indexed from the
+    ragged dict's target tuples."""
     rows = [m01, m23]
     ragged = None
+    uexts = None
     if plan is not None:
         pad_row = len(rows)
         rows.append(plan["pad_mask"])
+        umats = []
         tstat = []
         for t in plan["targets"]:
             keep_row = len(rows)
             rows.append(plan["keeps"][t])
             ssel = []
             for ei, e in enumerate(plan["evals"]):
-                if (e, t) in plan["sels"]:
-                    sel_row = len(rows)
-                    rows.append(plan["sels"][(e, t)])
-                    ssel.append((ei, sel_row))
+                if (e, t) in plan["umap"]:
+                    ssel.append((ei, len(umats)))
+                    umats.append(plan["umap"][(e, t)])
             tstat.append((t, keep_row, tuple(ssel)))
         ragged = dict(evals=plan["evals"], targets=tuple(tstat),
                       pad_row=pad_row, eb=plan["eb"])
+        uexts = np.stack(umats)
     pool_mask_row = None
     if pool_mask is not None:
         pool_mask_row = len(rows)
         rows.append(pool_mask)
-    return np.stack(rows), ragged, pool_mask_row
+    return np.stack(rows), ragged, pool_mask_row, uexts
 
 
 def _lane_shift_mats(co, C):
@@ -292,7 +314,8 @@ def _lane_shift_mats(co, C):
 def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                     gmat_t_ref, perm_ref, *, hr, wc, co, groups, act,
                     learned, acc_dtype, use_gn=True, use_act=True,
-                    W_valid=None, ragged=None, acc_ref=None):
+                    W_valid=None, ragged=None, acc_ref=None,
+                    uext_ref=None):
     """One FluidLayer on haloed scratch ref(s): main conv + boundary
     bands + bias [+ GroupNorm] [+ activation].
 
@@ -401,21 +424,23 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                         out = t if out is None else out + t
             return out
 
-        # col-band / corner weights carry the b∈{2,3}↔{0,1} lane-group
-        # permutation pre-folded on the output dim, so their dots land
-        # directly on the target lanes
+        # packed slots (_band_slots): 2 = left⊕right cols, 3/4 = the
+        # bottom/top corner pairs. Each member's live output lanes are
+        # disjoint, so one streamed matrix serves both; the use sites
+        # mask out the co-member's garbage (aligned: b01/b23 masks;
+        # ragged: HIGHEST-precision un-park matmuls via ``uext_ref``).
         top_row = conv_row(0, hr - 2)      # values at block row hr-2
         bot_row = conv_row(1, 1)           # values at block row 1
-        left_col = conv_col(2, 0)          # band on lanes b∈{0,1}
         mask_b01 = perm_ref[0][None, :]     # (1, C)
         mask_b23 = perm_ref[1][None, :]
+        left_col = conv_col(2, 0) * mask_b01
 
         if ragged is None:
-            right_col = conv_col(3, wc - 1)    # band on lanes b∈{2,3}
-            c_bl = conv_blk(4, hr - 2, 0)
-            c_br = conv_blk(5, hr - 2, wc - 1)
-            c_tl = conv_blk(6, 1, 0)
-            c_tr = conv_blk(7, 1, wc - 1)
+            right_col = conv_col(2, wc - 1) * mask_b23
+            c_bl = conv_blk(3, hr - 2, 0) * mask_b01
+            c_br = conv_blk(3, hr - 2, wc - 1) * mask_b23
+            c_tl = conv_blk(4, 1, 0) * mask_b01
+            c_tr = conv_blk(4, 1, wc - 1) * mask_b23
 
             # ---- assembly: block-row concats + lane-group selects ----
             top0 = c_bl + top_row[0:1] * mask_b23
@@ -438,19 +463,25 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                 [top_full[None], ymid, bot_full[None]], axis=0)
         else:
             # ---- ragged last block col (_ragged_plan / _band_slots):
-            # per-eval folded right-band/corner copies, per-target
-            # keep/select lane masks (static row indices in perm_ref)
-            nE = len(ragged["evals"])
+            # right-edge values are parked on their own lane groups;
+            # per-(eval, target) un-park matrices move them to the true
+            # target lanes (and mask everything else) in one exact
+            # 0/1-matrix dot — f32 HIGHEST, like the GN statistics
             t_list = ragged["targets"]
             t0 = t_list[0][0]
-            rcols = [conv_col(3 + i, e)
-                     for i, e in enumerate(ragged["evals"])]
-            c_bl = conv_blk(3 + nE, hr - 2, 0)
-            c_tl = conv_blk(4 + nE, 1, 0)
-            c_brs = [conv_blk(5 + nE + i, hr - 2, e)
-                     for i, e in enumerate(ragged["evals"])]
-            c_trs = [conv_blk(5 + 2 * nE + i, 1, e)
-                     for i, e in enumerate(ragged["evals"])]
+
+            def unpark(x, u_idx):
+                return lax.dot_general(
+                    x, uext_ref[u_idx],
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype,
+                    precision=lax.Precision.HIGHEST)
+
+            rcols = [conv_col(2, e) for e in ragged["evals"]]
+            c_bl = conv_blk(3, hr - 2, 0) * mask_b01
+            c_tl = conv_blk(4, 1, 0) * mask_b01
+            c_brs = [conv_blk(3, hr - 2, e) for e in ragged["evals"]]
+            c_trs = [conv_blk(4, 1, e) for e in ragged["evals"]]
 
             def row_assemble(row_vals, corner0, corners):
                 parts = [corner0 + row_vals[0:1] * mask_b23]
@@ -461,8 +492,8 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                     if t > prev:
                         parts.append(row_vals[prev:t])
                     v = row_vals[t:t + 1] * perm_ref[keep_row][None, :]
-                    for (ei, sel_row) in ssel:
-                        v = v + corners[ei] * perm_ref[sel_row][None, :]
+                    for (ei, u_idx) in ssel:
+                        v = v + unpark(corners[ei], u_idx)
                     parts.append(v)
                     prev = t + 1
                 if prev < wc:
@@ -482,8 +513,8 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
                 if t > prev:
                     mid_parts.append(y[1:hr - 1, prev:t])
                 v = y[1:hr - 1, t] * perm_ref[keep_row][None, :]
-                for (ei, sel_row) in ssel:
-                    v = v + rcols[ei][1:hr - 1] * perm_ref[sel_row][None, :]
+                for (ei, u_idx) in ssel:
+                    v = v + unpark(rcols[ei][1:hr - 1], u_idx)
                 mid_parts.append(jnp.expand_dims(v, 1))
                 prev = t + 1
             if prev < wc:
@@ -568,7 +599,8 @@ def _pool_op(src, prow_ref, pcol_ref, pmat_ref, *, hr, wc_in, acc_dtype):
 
 def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
                   acc_dtype, pool, use_gn=True, use_act=True,
-                  W_valid=None, ragged=None, pool_geom=None):
+                  W_valid=None, ragged=None, pool_geom=None,
+                  has_uext=False):
     """One grid step = one FluidLayer on the VMEM-resident field.
 
     All channel dims are host-padded to a common lane size C (Mosaic
@@ -584,12 +616,13 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
     ``use_gn``/``use_act`` statically drop the GroupNorm / activation
     tail (the thin merge-2/3 stacks).
     """
-    ncst = 11 if pool else 8
+    ncst = 8 + int(has_uext) + (3 if pool else 0)
     consts = refs[:ncst]
     (wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref, gmat_ref,
      gmat_t_ref, perm_ref) = consts[:8]
+    uext_ref = consts[8] if has_uext else None
     if pool:
-        prow_ref, pcol_ref, pmat_ref = consts[8:11]
+        prow_ref, pcol_ref, pmat_ref = consts[8 + int(has_uext):]
     rest = refs[ncst:]
     x_hbm = rest[0]
     if pool:
@@ -638,7 +671,8 @@ def _stack_kernel(*refs, R, hr, wc, co, groups, act, learned,
         bias_ref[r], gns_ref[r], gnb_ref[r], gmat_ref, gmat_t_ref,
         perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
         learned=learned, acc_dtype=acc_dtype, use_gn=use_gn,
-        use_act=use_act, W_valid=W_valid, ragged=ragged)
+        use_act=use_act, W_valid=W_valid, ragged=ragged,
+        uext_ref=uext_ref)
 
     src[1:hr + 1, 1:wc + 1, :] = y
 
@@ -711,18 +745,21 @@ class LayerStack:
         plan = _ragged_plan(W, co, C, wc_run=wc)
         if learned:
             # fold the output-lane permutation into the col-band and
-            # corner weights: their dots then land directly on the
-            # target lane groups (kernel assembly). _band_slots gives
-            # the aligned 8-slot layout or the plan's expanded one.
+            # corner weights, then SUM each packed slot's members (their
+            # live output lanes are disjoint — _band_slots): dots land
+            # directly on target/park lanes and only 5 (3,3,C,C)
+            # matrices stream per layer instead of one per source.
             slots = _band_slots(plan, P23, P01)
             wband = np.stack([
                 np.stack([
-                    padded(s2d_conv_weights_rect(np.asarray(l[nm]),
-                                                 FR, FC), (3, 3, C, C))
-                    @ (np.eye(C, dtype=np.float32) if fold is None
-                       else fold)
-                    for nm, fold in slots])
-                for l in layers])      # (R, nslots, 3, 3, C, C)
+                    sum(padded(s2d_conv_weights_rect(np.asarray(l[nm]),
+                                                     FR, FC),
+                               (3, 3, C, C))
+                        @ (np.eye(C, dtype=np.float32) if fold is None
+                           else fold)
+                        for nm, fold in members)
+                    for members in slots])
+                for l in layers])      # (R, 5, 3, 3, C, C)
         else:
             wband = np.zeros((R, 1, 3, 3, 1, 1), dtype)
 
@@ -760,16 +797,19 @@ class LayerStack:
                         pool_mask[lo:lo + ci] = 1.0
         # lane keep-masks: rows 0/1 = [b∈{0,1}, b∈{2,3}] (padded lanes
         # are in neither mask — they stay whatever the main conv made
-        # them, exact zeros); ragged plans append pad/keep/sel rows
-        perm, ragged, pool_mask_row = _perm_rows(plan, m01, m23,
-                                                 pool_mask)
+        # them, exact zeros); ragged plans append pad/keep rows and
+        # stack the un-park extraction matrices
+        perm, ragged, pool_mask_row, uexts = _perm_rows(plan, m01, m23,
+                                                        pool_mask)
+        has_uext = learned and uexts is not None
         if pool:
             pool_geom = (hr2, wc2, wc_in, pool_mask_row, eb2)
         kern = functools.partial(
             _stack_kernel, R=R, hr=hr, wc=wc, co=co,
             groups=groups, act=act, learned=learned, acc_dtype=dtype,
             pool=pool, use_gn=use_gn, use_act=use_act,
-            W_valid=W, ragged=ragged, pool_geom=pool_geom)
+            W_valid=W, ragged=ragged, pool_geom=pool_geom,
+            has_uext=has_uext)
 
         in_specs = [
             pl.BlockSpec((1,) + wmain.shape[1:],
@@ -785,6 +825,8 @@ class LayerStack:
             pl.BlockSpec(memory_space=pltpu.VMEM),   # group matrix.T
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lane masks
         ]
+        if has_uext:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_shape = jax.ShapeDtypeStruct((hr + 2, wc + 2, C), dtype)
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((hr + 2, wc + 2, C), dtype),
@@ -854,6 +896,10 @@ class LayerStack:
                         bias.astype(dtype), gns.astype(dtype),
                         gnb.astype(dtype), gmat.astype(dtype),
                         gmat_t.astype(dtype), perm.astype(dtype))
+        if has_uext:
+            # the un-park matrices stay f32: their dots run at HIGHEST
+            # precision so the extraction is exact (like the GN stats)
+            self._consts += (uexts.astype(np.float32),)
 
     def prep(self, x6):
         """Zero-halo + channel-pad a (hr, ≥wc_nat, fr·fc·Ci) activation

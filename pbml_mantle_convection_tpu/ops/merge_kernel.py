@@ -74,14 +74,17 @@ def _col_lane_perms(c, C):
 
 
 def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
-                  acc_dtype, W_valid=None, ragged=None):
+                  acc_dtype, W_valid=None, ragged=None,
+                  has_uext=False):
     """grids[l] = (hr_l, wc_l); level 0 is full resolution."""
     (wmain_ref, wband_ref, bias_ref, gns_ref, gnb_ref, gmat_ref,
      gmat_t_ref, perm_ref, prow_ref, pcol_ref) = refs[:10]
+    uext_ref = refs[10] if has_uext else None
+    k1 = 10 + int(has_uext)
     ncoarse = nlev - 1
-    ars = refs[10:10 + ncoarse]
-    bcs = refs[10 + ncoarse:10 + 2 * ncoarse]
-    k0 = 10 + 2 * ncoarse
+    ars = refs[k1:k1 + ncoarse]
+    bcs = refs[k1 + ncoarse:k1 + 2 * ncoarse]
+    k0 = k1 + 2 * ncoarse
     xs_hbm = refs[k0:k0 + nlev + 1]        # b0, out_1..4, x
     out_hbm = refs[k0 + nlev + 1]
     srcs = refs[k0 + nlev + 2:k0 + 2 * nlev + 3]   # nlev+1 pieces
@@ -146,7 +149,7 @@ def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
         bias_ref[0], gns_ref[0], gnb_ref[0], gmat_ref, gmat_t_ref,
         perm_ref, hr=hr, wc=wc, co=co, groups=groups, act=act,
         learned=learned, acc_dtype=acc_dtype, W_valid=W_valid,
-        ragged=ragged, acc_ref=scr_out)
+        ragged=ragged, acc_ref=scr_out, uext_ref=uext_ref)
 
     scr_out[:] = jnp.zeros_like(scr_out)
     scr_out[1:hr + 1, 1:wc + 1, :] = y
@@ -215,21 +218,26 @@ class TrunkStack:
         P23, P01, m01, m23 = _lane_shift_mats(co, fco)
         plan = _ragged_plan(W, co, fco, wc_run=wc)
         if learned:
+            # packed slots (branch_kernel._band_slots): each slot's
+            # members land on disjoint output lanes and share one
+            # streamed matrix per piece
             slots = _band_slots(plan, P23, P01)
             wband = np.stack([
-                chunks(s2d_conv_weights_rect(np.asarray(layer[nm]),
-                                             FR, FC))
-                @ (np.eye(fco, dtype=np.float32) if fold is None
-                   else fold)
-                for nm, fold in slots], axis=1)
-            # (npieces, nslots, 3, 3, C, fco)
+                sum(chunks(s2d_conv_weights_rect(np.asarray(layer[nm]),
+                                                 FR, FC))
+                    @ (np.eye(fco, dtype=np.float32) if fold is None
+                       else fold)
+                    for nm, fold in members)
+                for members in slots], axis=1)
+            # (npieces, 5, 3, 3, C, fco)
         else:
             wband = np.zeros((npieces, 1, 3, 3, 1, 1), dtype)
 
         if groups is None:
             groups = max(1, co // min(4, co))
         gmat, gmat_t = _group_mats(co, groups, fco)
-        perm, ragged, _ = _perm_rows(plan, m01, m23)
+        perm, ragged, _, uexts = _perm_rows(plan, m01, m23)
+        has_uext = learned and uexts is not None
         bias = np.tile(np.asarray(layer["bias"]), FR * FC)[None]
         gns = np.tile(np.asarray(layer["gn_scale"]), FR * FC)[None]
         gnb = np.tile(np.asarray(layer["gn_bias"]), FR * FC)[None]
@@ -260,9 +268,9 @@ class TrunkStack:
         kern = functools.partial(
             _trunk_kernel, nlev=nlev, grids=tuple(grids), co=co,
             groups=groups, act=act, learned=learned, acc_dtype=dtype,
-            W_valid=W, ragged=ragged)
+            W_valid=W, ragged=ragged, has_uext=has_uext)
 
-        nconst = 10 + 2 * (nlev - 1)
+        nconst = 10 + int(has_uext) + 2 * (nlev - 1)
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * nconst
             + [pl.BlockSpec(memory_space=pl.ANY)] * npieces)
@@ -294,6 +302,7 @@ class TrunkStack:
              gns.astype(dtype), gnb.astype(dtype), gmat.astype(dtype),
              gmat_t.astype(dtype), perm.astype(dtype),
              prow.astype(dtype), pcol.astype(dtype)]
+            + ([uexts.astype(np.float32)] if has_uext else [])
             + ars + bcs)
         self._grids = grids
         self._C = C
