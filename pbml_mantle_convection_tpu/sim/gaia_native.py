@@ -38,9 +38,14 @@ def _build_lib() -> str:
     if (os.path.exists(so_path)
             and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
         return so_path
+    # compile to a private name and os.replace (atomic): concurrent
+    # processes (pytest-xdist workers) must never dlopen a half-written
+    # .so when they race on the shared cache path
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", so_path]
+           "-o", tmp_path]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, so_path)
     return so_path
 
 
