@@ -159,8 +159,10 @@ def test_fast_inexact_mode_close():
 @pytest.mark.parametrize("r_p", [
     "learned", pytest.param("zeros", marks=pytest.mark.slow)])
 @pytest.mark.parametrize("shape", [
-    (16, 30, 2),
-    pytest.param((16, 29, 2), marks=pytest.mark.slow),
+    (16, 30, 2),            # W%4=2; pooled level W=15 (%4=3, two-eval)
+    pytest.param((16, 29, 2), marks=pytest.mark.slow),   # W%4=1
+    pytest.param((16, 31, 2), marks=pytest.mark.slow),   # W%4=3: the
+    # two-eval ragged plan at the TOP level — merge trunk included
     pytest.param((32, 54, 3), marks=pytest.mark.slow)])
 def test_megakernel_ragged_width(r_p, shape):
     """Non-4-divisible widths route through the megakernel path on a
