@@ -93,22 +93,20 @@ def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
     sem = refs[-1]
     hr, wc = grids[0]
 
-    # b0 and x arrive full-res haloed → their piece scratches directly
-    dma = pltpu.make_async_copy(xs_hbm[0], srcs[0], sem)
-    dma.start()
-    dma.wait()
-    dma = pltpu.make_async_copy(xs_hbm[nlev], srcs[nlev], sem)
-    dma.start()
-    dma.wait()
-
-    # coarse branches: DMA the small raw fields, then upsample each
-    # into its piece scratch in VMEM
-    for l in range(1, nlev):
-        dma = pltpu.make_async_copy(xs_hbm[l], ins[l - 1], sem)
-        dma.start()
-        dma.wait()
+    # start ALL input DMAs up front (each on its own semaphore), then
+    # wait per buffer just before first use — the transfers overlap
+    # each other and the coarse-level upsampling instead of running as
+    # 7 serialized start/wait pairs
+    dmas = []
+    for i, (src_hbm, dst) in enumerate(
+            [(xs_hbm[0], srcs[0]), (xs_hbm[nlev], srcs[nlev])]
+            + [(xs_hbm[l], ins[l - 1]) for l in range(1, nlev)]):
+        d = pltpu.make_async_copy(src_hbm, dst, sem.at[i])
+        d.start()
+        dmas.append(d)
 
     for l in range(1, nlev):
+        dmas[1 + l].wait()
         hrl, wcl = grids[l]
         yin = ins[l - 1][1:hrl + 1, 1:wcl + 1, :]
         # cols: out dense col 4q+b' = Σ B[4q+b', 4qi+s]*in[.., 4qi+s]
@@ -140,6 +138,9 @@ def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
         srcs[l][:] = jnp.zeros_like(srcs[l])
         srcs[l][1:hr + 1, 1:wc + 1, :] = out
 
+    dmas[0].wait()     # b0 — consumed by the merge conv below
+    dmas[1].wait()     # x
+
     # acc_ref=scr_out: serialize the 6-piece main-conv accumulation
     # through the output scratch — one long value chain here spills
     # ~85 MB of vregs at 128×506 (measured: over physical VMEM)
@@ -153,7 +154,7 @@ def _trunk_kernel(*refs, nlev, grids, co, groups, act, learned,
 
     scr_out[:] = jnp.zeros_like(scr_out)
     scr_out[1:hr + 1, 1:wc + 1, :] = y
-    dma = pltpu.make_async_copy(scr_out, out_hbm, sem)
+    dma = pltpu.make_async_copy(scr_out, out_hbm, sem.at[0])
     dma.start()
     dma.wait()
 
@@ -280,7 +281,7 @@ class TrunkStack:
             + [pltpu.VMEM((g[0] + 2, g[1] + 2, C), dtype)
                for g in grids[1:]]
             + [pltpu.VMEM((hr + 2, wc + 2, fco), dtype),
-               pltpu.SemaphoreType.DMA(())])
+               pltpu.SemaphoreType.DMA((npieces,))])
         self._call = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((hr + 2, wc + 2, fco),
