@@ -353,7 +353,7 @@ def _fluid_layer_op(srcs, wm, wb, bias_row, gns_row, gnb_row, gmat_ref,
         # Mosaic code size and the register liveness stay O(strip)
         # instead of O(hr·wc) — at wc=127 the unrolled form took the
         # register allocator >25 min and was killed
-        S = min(8, hr)
+        S = min(int(os.environ.get("PMC_TRUNK_STRIP", "8")), hr)
 
         def strip(si, _):
             base = si * S
