@@ -28,6 +28,15 @@ Band decomposition (k=5, bc=1 ⇒ band width 2):
       right cols {W-2,W-1} = groups b∈{0,1} of conv_right at block col wc-1
 * corners — single blocks at the crossings, same lane permutation.
 
+The streamed band weights are PACKED 2-per-slot (``_band_slots``): a
+col/corner pair's folded matrices have disjoint live output lane
+groups, so each pair shares one (3,3,C,C) matrix — 5 slots per layer
+instead of 8 (aligned) or 5+3·nE (ragged), cutting the dominant
+weight-stream bytes ~37-45% (PERF.md round-4: +3.9% at 256², +5.6% at
+128×506). Ragged widths park the right-edge outputs on their own lane
+groups and un-park at assembly with exact per-(eval,target) 0/1
+matmuls.
+
 Assembly is concatenation over block rows/cols plus lane mask-selects
 (Mosaic has no scatter and no lane-dim reshapes); GroupNorm statistics
 run as 0/1-matrix matmuls; the default in-kernel GELU is a divide-free
