@@ -15,7 +15,7 @@ import time
 
 def build_parser():
     p = argparse.ArgumentParser(description="benchmarks")
-    p.add_argument("--what", choices=["inference", "rollout"],
+    p.add_argument("--what", choices=["inference", "rollout", "train"],
                    default="inference")
     p.add_argument("-net", "--network", type=str, default="newfluidnet")
     p.add_argument("-l", "--levels", type=int, default=5)
@@ -87,6 +87,57 @@ def main(argv=None):
             "value": round(ms, 4), "unit": "ms",
             "iters": args.iters}))
         return ms
+
+    if args.what == "train":
+        # DP training throughput: the jitted shard_map train step on a
+        # synthetic batch (the reference's dominant compute —
+        # multigpu.py:340-410 epoch loops; its per-batch wall time is
+        # the only number it prints). Batch = --batch (default 8, the
+        # production batch size); mesh over all devices, degrades to 1.
+        import numpy as np
+        import optax
+        from jax.sharding import Mesh
+        from ..parallel.mesh import DATA_AXIS, shard_batch
+        from ..train.train_step import TrainStepConfig, make_train_step
+
+        B = args.batch if args.batch > 1 else 8
+        devs = np.array(jax.devices())
+        if B % devs.size:
+            raise SystemExit(f"--batch {B} not divisible by "
+                             f"{devs.size} devices")
+        mesh = Mesh(devs, (DATA_AXIS,)) if devs.size > 1 else None
+        cfg = TrainStepConfig(net=args.network, p_pred=False,
+                              loss_scale=True, loss_derivative=True,
+                              loss_type="curl")
+        step = make_train_step(model.apply, optax.adam(1e-3), cfg,
+                               mesh=mesh)
+        opt_state = optax.adam(1e-3).init(params)
+        rs = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rs.normal(size=(B, args.H, args.W, c_i)),
+                             dtype),
+            "y": jnp.asarray(rs.normal(size=(B, 2, args.H, args.W)),
+                             dtype),
+        }
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        pp, oo, br = step(params, opt_state, batch)  # compile + warm
+        jax.block_until_ready(br.total)
+        n = args.iters
+        t0 = time.perf_counter()
+        for _ in range(n):
+            # params/opt_state evolve → every dispatch is unique (the
+            # relay dedupes identical (program, args) pairs, PERF.md)
+            pp, oo, br = step(pp, oo, batch)
+        jax.block_until_ready(br.total)
+        dt_wall = (time.perf_counter() - t0) / n
+        print(json.dumps({
+            "metric": f"train_step_{args.network}_{args.H}x{args.W}_B{B}",
+            "value": round(dt_wall * 1e3, 3), "unit": "ms",
+            "samples_per_s": round(B / dt_wall, 2),
+            "n_devices": int(devs.size),
+            "loss": float(br.total)}))
+        return dt_wall
 
     # rollout: reuse the repo-root bench machinery at this grid size
     from ..constants import SimParams

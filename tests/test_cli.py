@@ -66,6 +66,20 @@ def test_benchmark_cli_inference(capsys):
     assert rec["unit"] == "ms"
 
 
+def test_benchmark_cli_train(capsys):
+    """--what train: the jitted shard_map DP train step times over the
+    full (8-virtual-CPU) mesh and reports per-step ms + samples/s."""
+    from pbml_mantle_convection_tpu.cli.benchmark import main
+    dt = main(["--what", "train", "-net", "newfluidnet", "-l", "1",
+               "-f", "8", "-r", "1", "-pad", "replicate",
+               "--H", "16", "--W", "24", "--batch", "8", "--iters", "2"])
+    assert dt > 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["unit"] == "ms"
+    assert rec["n_devices"] == 8
+    assert np.isfinite(rec["loss"])
+
+
 def _fake_run(path, mode, H=12, W=20, n_steps=30, n_snaps=3, seed=0,
               dt_wall=0.01, drift=0.0):
     """Write a sim/rollout.py-layout pickle set (advect_wi_gaia.py:
