@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--batch", type=int, default=1,
                    help="simultaneous simulations per rollout step "
                         "(B>1: batched multi-sim throughput)")
+    p.add_argument("--roll_forward", type=int, default=1,
+                   help="--what train, unet: autoregressive unroll "
+                        "depth (multigpu.py:207-251)")
     p.add_argument("--raw-module", action="store_true",
                    help="time the plain Flax apply instead of the "
                         "rollout-optimized executor")
@@ -108,17 +111,30 @@ def main(argv=None):
         mesh = Mesh(devs, (DATA_AXIS,)) if devs.size > 1 else None
         cfg = TrainStepConfig(net=args.network, p_pred=False,
                               loss_scale=True, loss_derivative=True,
-                              loss_type="curl")
+                              loss_type="curl",
+                              roll_forward=args.roll_forward)
         step = make_train_step(model.apply, optax.adam(1e-3), cfg,
                                mesh=mesh)
         opt_state = optax.adam(1e-3).init(params)
         rs = np.random.default_rng(0)
+        is_unet = args.network in ("unet", "iunet")
+        # fluidnet target: (u, v); unet target: (u, v, T)
+        c_y = 3 if is_unet else 2
         batch = {
             "x": jnp.asarray(rs.normal(size=(B, args.H, args.W, c_i)),
                              dtype),
-            "y": jnp.asarray(rs.normal(size=(B, 2, args.H, args.W)),
+            "y": jnp.asarray(rs.normal(size=(B, c_y, args.H, args.W)),
                              dtype),
         }
+        if is_unet:
+            # roll_forward reassembly inputs (train_step._unet_reassemble)
+            from ..sim.grid import Grid
+            g = Grid(H=args.H, W=args.W,
+                     aspect=(args.W - 2) / (args.H - 2), dtype=str(dtype))
+            batch["paras"] = jnp.tile(
+                jnp.asarray([[3.0, 1e8, 10.0]], dtype), (B, 1))
+            batch["yc"] = jnp.broadcast_to(g.yc.astype(dtype),
+                                           (B, args.H, args.W))
         if mesh is not None:
             batch = shard_batch(mesh, batch)
         pp, oo, br = step(params, opt_state, batch)  # compile + warm
@@ -131,8 +147,11 @@ def main(argv=None):
             pp, oo, br = step(pp, oo, batch)
         jax.block_until_ready(br.total)
         dt_wall = (time.perf_counter() - t0) / n
+        rf = (f"_rf{args.roll_forward}" if args.roll_forward > 1
+              else "")
         print(json.dumps({
-            "metric": f"train_step_{args.network}_{args.H}x{args.W}_B{B}",
+            "metric": f"train_step_{args.network}_{args.H}x{args.W}"
+                      f"_B{B}{rf}",
             "value": round(dt_wall * 1e3, 3), "unit": "ms",
             "samples_per_s": round(B / dt_wall, 2),
             "n_devices": int(devs.size),

@@ -80,6 +80,20 @@ def test_benchmark_cli_train(capsys):
     assert np.isfinite(rec["loss"])
 
 
+@pytest.mark.slow
+def test_benchmark_cli_train_unet(capsys):
+    """--what train with the U-Net family: roll_forward unroll batch
+    (x/y/paras/yc) through the same timed DP step."""
+    from pbml_mantle_convection_tpu.cli.benchmark import main
+    dt = main(["--what", "train", "-net", "unet", "-l", "2", "-f", "8",
+               "--H", "16", "--W", "24", "--batch", "8",
+               "--roll_forward", "2", "--iters", "2"])
+    assert dt > 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["metric"].endswith("_B8_rf2")
+    assert np.isfinite(rec["loss"])
+
+
 def _fake_run(path, mode, H=12, W=20, n_steps=30, n_snaps=3, seed=0,
               dt_wall=0.01, drift=0.0):
     """Write a sim/rollout.py-layout pickle set (advect_wi_gaia.py:
