@@ -27,9 +27,15 @@ def main():
     from pbml_mantle_convection_tpu.constants import SimParams
     from pbml_mantle_convection_tpu.models import NewFluidNet
     from pbml_mantle_convection_tpu.sim.engine import SimEngine
-    from pbml_mantle_convection_tpu.utils.jit import tpu_jit
+    from pbml_mantle_convection_tpu.utils.jit import (
+        enable_compilation_cache, tpu_jit)
     from pbml_mantle_convection_tpu.sim.grid import Grid
     from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
+
+    # persistent compile cache: the first process pays the full compile
+    # (~2 min for the megakernel stack); later processes replay it in
+    # seconds (PERF.md round-5 "compilation cache")
+    log(f"compile cache: {enable_compilation_cache()}")
 
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)

@@ -28,9 +28,12 @@ def build_parser():
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--dtype", type=str, default="float32")
-    p.add_argument("--batch", type=int, default=1,
+    p.add_argument("--batch", type=int, default=None,
                    help="simultaneous simulations per rollout step "
-                        "(B>1: batched multi-sim throughput)")
+                        "(B>1: batched multi-sim throughput); for "
+                        "--what train, the train-step batch size "
+                        "(default 8, the production size; an explicit "
+                        "--batch 1 is honored)")
     p.add_argument("--roll_forward", type=int, default=1,
                    help="--what train, unet: autoregressive unroll "
                         "depth (multigpu.py:207-251)")
@@ -46,11 +49,19 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.batch is None:
+        # per-mode default: train uses the production batch size 8,
+        # everything else a single sim; explicit values (incl. 1) pass
+        # through untouched (ADVICE r4)
+        args.batch = 8 if args.what == "train" else 1
 
     import jax
     import jax.numpy as jnp
 
     from ..models.registry import ModelConfig, build_model
+    from ..utils.jit import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dtype = jnp.dtype(args.dtype)
     mc = ModelConfig(network=args.network, levels=args.levels,
@@ -103,7 +114,7 @@ def main(argv=None):
         from ..parallel.mesh import DATA_AXIS, shard_batch
         from ..train.train_step import TrainStepConfig, make_train_step
 
-        B = args.batch if args.batch > 1 else 8
+        B = args.batch
         devs = np.array(jax.devices())
         if B % devs.size:
             raise SystemExit(f"--batch {B} not divisible by "

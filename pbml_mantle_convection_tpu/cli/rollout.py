@@ -77,6 +77,9 @@ def main(argv=None):
     from ..sim.rollout import rollout_jax, rollout_native
     from ..sim.stepper import TimeStepper
     from ..utils.checkpoint import restore_checkpoint
+    from ..utils.jit import enable_compilation_cache
+
+    enable_compilation_cache()
 
     params_phys = SimParams(args.raq, args.fkt, args.fkp)
     ini_cfg = GaiaIniConfig(

@@ -63,6 +63,9 @@ def main(argv=None):
     from ..data import SnapshotDataset, TimePairDataset, synthetic_store
     from ..models.registry import ModelConfig
     from ..train.trainer import TrainConfig, Trainer
+    from ..utils.jit import enable_compilation_cache
+
+    enable_compilation_cache()
 
     mc = ModelConfig(
         network=args.network, levels=args.levels, c_h=args.c_h,
@@ -73,14 +76,10 @@ def main(argv=None):
         blurr=bool(args.blurr), drop_rate=args.drop_rate,
         factor=args.factor, multi_scales=tuple(args.multi_scales))
 
-    # epoch / milestone derivation (multigpu.py:1059-1070)
-    if args.debug:
-        epochs, milestones = 1500, (20, 200, 400, 600, 800, 1000)
-    else:
-        epochs, milestones = 150, (20, 40, 60, 80, 180, 120)
-    if args.network == "ifluidnet":
-        epochs, milestones = ((80, (4, 14, 24, 34, 50)) if args.debug
-                              else (40, (2, 7, 12, 17, 25)))
+    # epoch / milestone derivation (multigpu.py:1059-1070) — single
+    # source of truth in TrainConfig.schedule_for
+    epochs, milestones = TrainConfig.schedule_for(args.network,
+                                                  bool(args.debug))
     if args.epochs is not None:
         epochs = args.epochs
 

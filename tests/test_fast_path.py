@@ -161,8 +161,9 @@ def test_fast_inexact_mode_close():
 @pytest.mark.parametrize("shape", [
     (16, 30, 2),            # W%4=2; pooled level W=15 (%4=3, two-eval)
     pytest.param((16, 29, 2), marks=pytest.mark.slow),   # W%4=1
-    pytest.param((16, 31, 2), marks=pytest.mark.slow),   # W%4=3: the
-    # two-eval ragged plan at the TOP level — merge trunk included
+    (16, 31, 2),            # W%4=3: the two-eval ragged plan at the TOP
+    # level — merge trunk included (default-tier per ADVICE r4: the
+    # two-eval un-park path must stay covered by the default run)
     pytest.param((32, 54, 3), marks=pytest.mark.slow)])
 def test_megakernel_ragged_width(r_p, shape):
     """Non-4-divisible widths route through the megakernel path on a

@@ -78,6 +78,19 @@ def test_trainer_loss_decreases(tmp_path):
     assert log[1]["train"][0] < log[0]["train"][0] * 1.5
 
 
+def test_schedule_for_derivation():
+    """Single source of truth for the epoch/milestone schedule
+    (multigpu.py:1059-1070), incl. the ifluidnet special case."""
+    assert TrainConfig.schedule_for("newfluidnet", False) == (
+        150, (20, 40, 60, 80, 180, 120))
+    assert TrainConfig.schedule_for("newfluidnet", True) == (
+        1500, (20, 200, 400, 600, 800, 1000))
+    assert TrainConfig.schedule_for("ifluidnet", False) == (
+        40, (2, 7, 12, 17, 25))
+    assert TrainConfig.schedule_for("ifluidnet", True) == (
+        80, (4, 14, 24, 34, 50))
+
+
 def test_small_batch_clamped_at_tiny_batch_size(tmp_path):
     """batch_size=2 with init mixing must keep >=1 main example per
     batch (small_batch is clamped, not the reference's crash)."""

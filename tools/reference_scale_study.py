@@ -102,12 +102,20 @@ def real_paras(n_train: int, fkt_max: float = 3e8):
                        if s[1] == split and s[0] not in BLACKLIST
                        and s[3] <= fkt_max),
                       key=lambda s: s[3])
+        if len(rows) < k:
+            # too few sims survive the blacklist/fkt_max filters — tell
+            # the caller to fall back to TRAIN_PARAS rather than raising
+            # or silently duplicating triples (ADVICE r4)
+            return None
         idx = [round(i * (len(rows) - 1) / max(k - 1, 1))
                for i in range(k)]
         return [rows[i] for i in idx]
 
     tr = pick("train", n_train)
-    ho = pick("test", 3)[1]  # the mid-quantile test sim
+    ho_rows = pick("test", 3)
+    if tr is None or ho_rows is None:
+        return None
+    ho = ho_rows[1]  # the mid-quantile test sim
     paras = [(float(s[2]), float(s[3]), float(s[4])) for s in tr]
     return paras, (float(ho[2]), float(ho[3]), float(ho[4])), (
         [int(s[0]) for s in tr], int(ho[0]))
