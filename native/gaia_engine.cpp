@@ -472,7 +472,27 @@ struct Engine {
                            (gb - gt) / (0.5 * (yt + yb));
 
         double src = q;
-        if (cfg.di > 0.0) src -= cfg.di * v * T[k];  // EBA adiabatic term
+        if (cfg.di > 0.0) {
+          // EBA terms (MCEnergy=Boussinesq/Compress,
+          // prepare_gaia_ini.py:61-62): adiabatic -Di*v*(T+T0), T0=0,
+          // plus viscous dissipation +(Di/Ra)*Phi with Ra=1 and
+          // Phi = eta*(2 du/dx^2 + 2 dv/dy^2 + (du/dy + dv/dx)^2),
+          // centred differences — mirrors physics/advection.py::
+          // viscous_dissipation (cross-validated at rtol 1e-12).
+          src -= cfg.di * v * T[k];
+          const double dxc = xl + xr, dyc = yt + yb;
+          const double dudx =
+              (vel[id(r, c + 1) * 3 + 0] - vel[id(r, c - 1) * 3 + 0]) / dxc;
+          const double dvdx =
+              (vel[id(r, c + 1) * 3 + 1] - vel[id(r, c - 1) * 3 + 1]) / dxc;
+          const double dudy =
+              (vel[id(r + 1, c) * 3 + 0] - vel[id(r - 1, c) * 3 + 0]) / dyc;
+          const double dvdy =
+              (vel[id(r + 1, c) * 3 + 1] - vel[id(r - 1, c) * 3 + 1]) / dyc;
+          const double shear = dudy + dvdx;
+          src += cfg.di * V[k] *
+                 (2.0 * dudx * dudx + 2.0 * dvdy * dvdy + shear * shear);
+        }
 
         T_new[k] = T[k] + dt * (-u * tx - v * ty + lap + src);
         if (T_new[k] < 0.0) T_new[k] = 0.0;

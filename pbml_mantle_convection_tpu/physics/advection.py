@@ -134,6 +134,34 @@ def advect_diffuse_step(
     return T_new, dt
 
 
+def viscous_dissipation(u, v, V, metrics: GridMetrics):
+    """EBA viscous-dissipation density Φ = τ:ε̇ on the grid interior.
+
+    For incompressible flow Φ = 2η ε̇:ε̇
+    = η [2(∂u/∂x)² + 2(∂v/∂y)² + (∂u/∂y + ∂v/∂x)²].
+    The energy equation gains +(Di/Ra)·Φ under GAIA's
+    MCEnergy=Boussinesq/Compress (prepare_gaia_ini.py:61-62); the
+    reference fixes Ra=1 (prepare_gaia_ini.py:117) so the engine
+    multiplies this by Di directly. Derivatives are centred differences
+    over the one-sided metric pairs, matching the native engine's
+    stencil exactly (native/gaia_engine.cpp, do_timestep_dt).
+
+    Args:
+        u, v, V: (..., H, W) velocities and viscosity (full grid).
+    Returns:
+        (..., H-2, W-2) dissipation density Φ on the interior.
+    """
+    dx_c = metrics.dx_l + metrics.dx_r    # x[c+1] - x[c-1]
+    dy_c = metrics.dy_t + metrics.dy_b    # y[r+1] - y[r-1]
+    du_dx = (u[..., 1:-1, 2:] - u[..., 1:-1, :-2]) / dx_c
+    dv_dx = (v[..., 1:-1, 2:] - v[..., 1:-1, :-2]) / dx_c
+    du_dy = (u[..., 2:, 1:-1] - u[..., :-2, 1:-1]) / dy_c
+    dv_dy = (v[..., 2:, 1:-1] - v[..., :-2, 1:-1]) / dy_c
+    shear = du_dy + dv_dx
+    return V[..., 1:-1, 1:-1] * (
+        2.0 * du_dx**2 + 2.0 * dv_dy**2 + shear**2)
+
+
 def advect_diffuse_step_weno(
     u, v, T, raq_ra, dx: float = 1.0 / 126.0,
     dt: Optional[jnp.ndarray] = None, cn_max: float = 0.1,

@@ -142,16 +142,23 @@ class SimEngine:
     # single step
     # ------------------------------------------------------------------
 
-    def _energy_sources(self, state: SimState, T, v):
-        """Internal heating (+ optional EBA terms for Di > 0)."""
+    def _energy_sources(self, state: SimState, T, u, v, V):
+        """Internal heating (+ the EBA terms for Di > 0)."""
         src = decay_heating(self.params.raq, state.t,
                             self.radioactive_decay, self.dtype)
         if self.Di > 0.0:
-            # Extended-Boussinesq adiabatic heating/cooling -Di·v·(T+T0)
-            # (GAIA MCEnergy=Boussinesq/Compress, prepare_gaia_ini.py:61-62;
-            # simplified: viscous dissipation omitted). T0 = 0
-            # (prepare_gaia_ini.py:125).
-            src = src - self.Di * v[..., 1:-1, 1:-1] * T[..., 1:-1, 1:-1]
+            # Extended-Boussinesq terms (GAIA MCEnergy=
+            # Boussinesq/Compress, prepare_gaia_ini.py:61-62):
+            # adiabatic heating/cooling -Di·v·(T+T0) with T0 = 0
+            # (prepare_gaia_ini.py:125), plus viscous dissipation
+            # +(Di/Ra)·Φ with Ra = 1 (prepare_gaia_ini.py:117);
+            # cross-validated against the native engine at rtol 1e-12
+            # (tests/test_sim_aux.py::test_eba_energy_step_matches_jax).
+            from ..physics.advection import viscous_dissipation
+            src = (src
+                   - self.Di * v[..., 1:-1, 1:-1] * T[..., 1:-1, 1:-1]
+                   + self.Di * viscous_dissipation(
+                       u, v, V, self.stepper._metrics))
         return src
 
     def __post_init__(self):
@@ -270,7 +277,7 @@ class SimEngine:
             if p is None:
                 p = state.p
 
-        src = self._energy_sources(state, T, v)
+        src = self._energy_sources(state, T, u, v, V)
         T_new, dt = self.stepper.advect_fn(
             u, v, T, src, self.stepper._metrics, dt=None,
             cn_max=self.stepper.cn_max, core_cool=self.core_cool)

@@ -270,3 +270,40 @@ class TestIterativeLegacyStepper:
         assert np.allclose(np.asarray(T_new[0, :, 0]),
                            np.asarray(T_new[0, :, 1]))
         assert np.all(np.isfinite(np.asarray(T_new)))
+
+
+def test_eba_energy_sources_wiring():
+    """Di > 0 engine step carries BOTH EBA terms: the adiabatic
+    -Di·v·T and the viscous dissipation +Di·Φ
+    (MCEnergy=Boussinesq/Compress, prepare_gaia_ini.py:61-62; Ra=1,
+    T0=0). Pins the engine's source wiring against the manual
+    composition and checks a Di step is physically distinct from
+    Boussinesq."""
+    from pbml_mantle_convection_tpu.physics.advection import (
+        viscous_dissipation)
+
+    eng0 = _make_engine()
+    eng = _make_engine(Di=0.5)
+    T0 = (1.0 - eng.grid.yc
+          + 0.1 * jnp.sin(2 * np.pi * eng.grid.yc)
+          * jnp.cos(np.pi * eng.grid.xc / eng.grid.aspect))[None]
+    state = eng.init_state(T0)
+
+    # manual source on the pre-step state, with the step's velocities
+    u, v, _, V = eng.stepper.stokes(T0)
+    src = eng._energy_sources(state, T0, u, v, V)
+    phi = viscous_dissipation(u, v, V, eng.stepper._metrics)
+    manual = (2.0
+              - 0.5 * v[..., 1:-1, 1:-1] * T0[..., 1:-1, 1:-1]
+              + 0.5 * phi)
+    np.testing.assert_allclose(np.asarray(src), np.asarray(manual),
+                               rtol=1e-14)
+    # dissipation is strictly positive somewhere for the analytic cell
+    assert float(jnp.max(phi)) > 0
+
+    s_di = jax.jit(eng.step)(state)
+    s_b = jax.jit(eng0.step)(eng0.init_state(T0))
+    assert np.isfinite(np.asarray(s_di.T)).all()
+    # same dt (velocities identical), different energy update
+    np.testing.assert_allclose(float(s_di.dt), float(s_b.dt))
+    assert float(jnp.max(jnp.abs(s_di.T - s_b.T))) > 0

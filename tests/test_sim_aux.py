@@ -245,3 +245,65 @@ class TestNativeEngine:
         np.testing.assert_allclose(
             state["T"].reshape(H, W), np.asarray(T_jax[0]),
             rtol=1e-12, atol=1e-14)
+
+    def test_eba_energy_step_matches_jax(self, tmp_path):
+        """Di > 0 cross-implementation equivalence: the C++ EBA energy
+        step (adiabatic -Di·v·T + viscous dissipation +Di·Φ,
+        gaia_engine.cpp do_timestep_dt) equals the JAX composition
+        advect_diffuse_step(src = RaQ - Di·v·T + Di·Φ) with Φ from
+        physics/advection.py::viscous_dissipation — both implement
+        GAIA's MCEnergy=Boussinesq/Compress (prepare_gaia_ini.py:61-62)
+        with Ra=1, T0=0 (prepare_gaia_ini.py:117,125)."""
+        try:
+            from pbml_mantle_convection_tpu.sim.gaia_native import Direct
+        except Exception as e:  # pragma: no cover - no compiler
+            pytest.skip(f"native build unavailable: {e}")
+        import jax.numpy as jnp
+        from pbml_mantle_convection_tpu.physics.advection import (
+            advect_diffuse_step, grid_metrics, viscous_dissipation)
+
+        ini = str(tmp_path / "Gaia.ini")
+        create_ini_file(ini, GaiaIniConfig(
+            mode="ML_STOKES", raq=2.0, fkt=1e5, fkp=3.0, layers=30,
+            aspect_ratio=2.0, Di=0.5))
+        sim = Direct()
+        sim.init1()
+        sim.iniLoad(ini)
+        sim.init2()
+        H, W = sim.shape
+        state = sim.getState()
+
+        rng = np.random.default_rng(11)
+        u = rng.normal(size=(H, W)) * 20
+        v = rng.normal(size=(H, W)) * 20
+        state["v"][:, 0] = u.reshape(-1)
+        state["v"][:, 1] = v.reshape(-1)
+        T0 = 0.3 + 0.4 * rng.random((H, W))
+        T0[0], T0[-1] = 1.0, 0.0
+        T0[:, 0], T0[:, -1] = T0[:, 1], T0[:, -2]
+        state["T"][:] = T0.reshape(-1)
+        sim.updateViscosity()
+
+        xc = state["pos"][:, 0].reshape(H, W).copy()
+        yc = state["pos"][:, 1].reshape(H, W).copy()
+        metrics = grid_metrics(jnp.asarray(xc), jnp.asarray(yc),
+                               aspect=2.0)
+
+        Di, dt = 0.5, 2e-6
+        uj, vj = jnp.asarray(u)[None], jnp.asarray(v)[None]
+        T_jax = jnp.asarray(T0)[None]
+        for _ in range(3):
+            # the native step consumes the PRE-step FK viscosity (it
+            # refreshes V from the new T only afterwards) — read it
+            # before stepping; the FK rule itself is pinned by
+            # test_viscosity_is_fk
+            Vj = jnp.asarray(state["V"].reshape(H, W).copy())[None]
+            sim.doTimestepDt(dt)
+            src = (2.0
+                   - Di * vj[..., 1:-1, 1:-1] * T_jax[..., 1:-1, 1:-1]
+                   + Di * viscous_dissipation(uj, vj, Vj, metrics))
+            T_jax, _ = advect_diffuse_step(
+                uj, vj, T_jax, src, metrics, dt=jnp.asarray(dt))
+        np.testing.assert_allclose(
+            state["T"].reshape(H, W), np.asarray(T_jax[0]),
+            rtol=1e-12, atol=1e-14)
