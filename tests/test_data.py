@@ -107,3 +107,94 @@ def test_epoch_batches_cover_dataset():
     rng = np.random.default_rng(4)
     n = sum(b["x"].shape[0] for b in ds.epoch_batches(rng, 3))
     assert n == (len(ds) // 3) * 3
+
+
+# ---------------------------------------------------------------------------
+# host-resident (HBM-scale) mode
+# ---------------------------------------------------------------------------
+
+
+def _batches_equal(b1, b2):
+    assert set(b1) == set(b2)
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]),
+                                      np.asarray(b2[k]), err_msg=k)
+
+
+def test_host_resident_snapshot_batches_bitwise_match_device():
+    """The host-resident gather→device_put→assemble path must produce
+    BITWISE the same batches as the device-resident gather for the same
+    indices/keys (both run the shared _assemble_gathered)."""
+    store = synthetic_store(n_snapshots=10, with_p=True)
+    dev = SnapshotDataset(store, p_pred=True, noise=1e-5,
+                          host_resident=False)
+    host = SnapshotDataset(store, p_pred=True, noise=1e-5,
+                           host_resident=True)
+    assert not dev.host_resident and host.host_resident
+    for b1, b2 in zip(dev.epoch_batches(np.random.default_rng(3), 4),
+                      host.epoch_batches(np.random.default_rng(3), 4)):
+        _batches_equal(b1, b2)
+
+
+def test_host_resident_timepair_batches_bitwise_match_device():
+    store = synthetic_store(n_snapshots=12)
+    dev = TimePairDataset(store, roll_forward=2, host_resident=False)
+    host = TimePairDataset(store, roll_forward=2, host_resident=True)
+    for b1, b2 in zip(dev.epoch_batches(np.random.default_rng(5), 3),
+                      host.epoch_batches(np.random.default_rng(5), 3)):
+        _batches_equal(b1, b2)
+
+
+def test_residency_auto_threshold(monkeypatch):
+    """host_resident=None decides by store size vs
+    PMC_DEVICE_STORE_BYTES (default 4 GiB)."""
+    store = synthetic_store(n_snapshots=8)
+    assert not SnapshotDataset(store).host_resident      # tiny store
+    monkeypatch.setenv("PMC_DEVICE_STORE_BYTES",
+                       str(store.field_nbytes(4) - 1))
+    assert SnapshotDataset(store).host_resident
+    assert TimePairDataset(store).host_resident
+
+
+def test_memmap_store_roundtrip_and_training_path(tmp_path):
+    """synthetic_store_memmap writes slice-wise, reopens without
+    regeneration, and feeds the host-resident dataset end to end."""
+    from pbml_mantle_convection_tpu.data import synthetic_store_memmap
+
+    path = str(tmp_path / "store")
+    store = synthetic_store_memmap(
+        path, grid=Grid(H=16, W=32),
+        params_list=(SimParams(2.0, 1e7, 3.0), SimParams(4.0, 1e8, 10.0)),
+        n_snapshots_per_sim=25, chunk=7)
+    assert isinstance(store.T, np.memmap)
+    assert len(store) == 50
+    # reopen is cheap and identical
+    store2 = synthetic_store_memmap(
+        path, grid=Grid(H=16, W=32),
+        params_list=(SimParams(2.0, 1e7, 3.0), SimParams(4.0, 1e8, 10.0)),
+        n_snapshots_per_sim=25)
+    np.testing.assert_array_equal(np.asarray(store.T[3]),
+                                  np.asarray(store2.T[3]))
+    # BCs and physical ranges survive the slice-wise generation
+    assert np.allclose(store.T[:, 0, :], 1.0)
+    assert np.allclose(store.T[:, -1, :], 0.0)
+
+    ds = SnapshotDataset(store, host_resident=True)
+    batches = list(ds.epoch_batches(np.random.default_rng(0), 8))
+    assert len(batches) == 6
+    assert batches[0]["x"].shape == (8, 16, 32, 7)
+    assert all(np.isfinite(np.asarray(b["x"])).all() for b in batches)
+
+
+def test_prefetch_iter_order_and_depth_zero():
+    from pbml_mantle_convection_tpu.data import prefetch_iter
+
+    assert list(prefetch_iter(lambda i: i * i, 7, depth=2)) == [
+        i * i for i in range(7)]
+    assert list(prefetch_iter(lambda i: i, 3, depth=0)) == [0, 1, 2]
+    assert list(prefetch_iter(lambda i: i, 0)) == []
+    # worker actually runs ahead: thread identity differs from consumer
+    import threading
+    main = threading.get_ident()
+    tids = list(prefetch_iter(lambda i: threading.get_ident(), 4))
+    assert all(t != main for t in tids)
