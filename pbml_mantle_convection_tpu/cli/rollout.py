@@ -175,7 +175,7 @@ def main(argv=None):
     # initial temperature from the predicted profile ("perfect"), linear,
     # hot or cold starts (prepare_gaia_ini.py:64-67, 94-96)
     y_pred, y_prof = calc_mlp_profile([args.raq], [args.fkt], [args.fkp])
-    yc = np.asarray(grid.yc)
+    yc = grid.yc_np
     if args.initialization == "perfect":
         prof = np.interp(1.0 - yc[:, 0], y_prof[::-1], y_pred[0][::-1])
         T0 = np.broadcast_to(prof[:, None], yc.shape).copy()
@@ -185,7 +185,7 @@ def main(argv=None):
         T0 = np.zeros_like(yc)
     else:
         T0 = np.ones_like(yc)
-    xc = np.asarray(grid.xc)
+    xc = grid.xc_np
     T0 = T0 + 0.01 * np.cos(np.pi * xc / grid.aspect) * np.sin(np.pi * yc)
     T0[0, :] = 1.0
     T0[-1, :] = 0.0

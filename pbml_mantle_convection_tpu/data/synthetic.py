@@ -31,8 +31,8 @@ def synthetic_store(
     cells for each parameter triple."""
     grid = grid or Grid(H=32, W=68)
     rng = np.random.default_rng(seed)
-    xc = np.asarray(grid.xc, np.float64)
-    yc = np.asarray(grid.yc, np.float64)
+    xc = grid.xc_np
+    yc = grid.yc_np
     H, W = xc.shape
 
     Ts, us, vs, ps = [], [], [], []
@@ -94,8 +94,8 @@ def synthetic_store_memmap(
     size-consistent ``path`` reopens without regenerating.
     """
     grid = grid or Grid()
-    xc = np.asarray(grid.xc, np.float64)
-    yc = np.asarray(grid.yc, np.float64)
+    xc = grid.xc_np
+    yc = grid.yc_np
     H, W = xc.shape
     n_sims = len(params_list)
     N = n_sims * n_snapshots_per_sim

@@ -61,18 +61,32 @@ class Grid:
         return c
 
     @cached_property
+    def xc_np(self) -> np.ndarray:
+        """(H, W) x-coordinates as host NumPy f64 — for host-side code
+        (data generation, memmap stores). Pulling ``xc`` back with
+        ``np.asarray`` costs a device round-trip (~100 s through the
+        remote-compile tunnel for the tiny convert); this never touches
+        the device."""
+        x = self._centers(self.W, self.aspect)
+        return np.ascontiguousarray(
+            np.broadcast_to(x[None, :], (self.H, self.W)))
+
+    @cached_property
+    def yc_np(self) -> np.ndarray:
+        """(H, W) y-coordinates as host NumPy f64 (see ``xc_np``)."""
+        y = self._centers(self.H, 1.0)
+        return np.ascontiguousarray(
+            np.broadcast_to(y[:, None], (self.H, self.W)))
+
+    @cached_property
     def xc(self) -> jnp.ndarray:
         """(H, W) x-coordinate of cell centres."""
-        x = self._centers(self.W, self.aspect)
-        return jnp.asarray(np.broadcast_to(x[None, :], (self.H, self.W)),
-                           dtype=self._jdtype)
+        return jnp.asarray(self.xc_np, dtype=self._jdtype)
 
     @cached_property
     def yc(self) -> jnp.ndarray:
         """(H, W) y-coordinate of cell centres (0 = bottom)."""
-        y = self._centers(self.H, 1.0)
-        return jnp.asarray(np.broadcast_to(y[:, None], (self.H, self.W)),
-                           dtype=self._jdtype)
+        return jnp.asarray(self.yc_np, dtype=self._jdtype)
 
     @cached_property
     def sdf(self) -> jnp.ndarray:

@@ -25,6 +25,7 @@ import time
 from typing import List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -216,7 +217,6 @@ class Trainer:
         except StopIteration:
             it[0] = dataset.epoch_batches(self.rng, self.small_batch)
             init_batch = next(it[0])
-        import jax.numpy as jnp
         keys = set(batch) & set(init_batch)
         merged = {k: jnp.concatenate((batch[k], init_batch[k]), axis=0)
                   for k in keys}
@@ -239,7 +239,13 @@ class Trainer:
         cfg = self.cfg
         bs = cfg.batch_size - self.small_batch
 
-        losses = np.zeros(6)
+        # per-step losses accumulate ON DEVICE (async dispatch) and are
+        # fetched ONCE per epoch: per-step float()/np.asarray of the 6
+        # scalars forces a host sync every batch, which both breaks the
+        # input-prefetch overlap and — through a remote-device relay —
+        # costs more than the train step itself (PERF.md round-5
+        # "end-to-end training epoch").
+        acc = None
         n = 0
         init_src = None
         if self.train_data_init is not None:
@@ -261,11 +267,14 @@ class Trainer:
                 self.params, self.opt_state, br = self._train_step(
                     self.params, self.opt_state, batch)
             self._global_step += 1
-            losses += np.asarray([float(x) for x in br])
+            br_vec = jnp.stack(list(br))
+            acc = br_vec if acc is None else acc + br_vec
             n += 1
-        losses = [float(x) for x in losses / max(n, 1)]
+        losses = ([float(x) for x in
+                   np.asarray(jax.device_get(acc)) / n]
+                  if n else [0.0] * 6)
 
-        losses_cv = np.zeros(6)
+        acc_cv = None
         n_cv = 0
         init_src = None
         if self.cv_data_init is not None:
@@ -276,9 +285,12 @@ class Trainer:
             batch = self._mix_init(batch, init_src)
             batch = self._maybe_shard(batch)
             br = self._eval_step(self.params, batch)
-            losses_cv += np.asarray([float(x) for x in br])
+            br_vec = jnp.stack(list(br))
+            acc_cv = br_vec if acc_cv is None else acc_cv + br_vec
             n_cv += 1
-        losses_cv = [float(x) for x in losses_cv / max(n_cv, 1)]
+        losses_cv = ([float(x) for x in
+                      np.asarray(jax.device_get(acc_cv)) / n_cv]
+                     if n_cv else [0.0] * 6)
         return losses, losses_cv
 
     def save(self, epoch: int, losses, losses_cv):

@@ -118,10 +118,10 @@ def main(argv=None):
         return TimeStepper(grid=grid, params=pp, apply_fn=fast,
                            cn_max=0.99, dtype=dtype)
 
-    T0 = np.clip(1.0 - np.asarray(grid.yc)
-                 + 0.04 * np.cos(3 * np.pi * np.asarray(grid.xc)
+    T0 = np.clip(1.0 - grid.yc_np
+                 + 0.04 * np.cos(3 * np.pi * grid.xc_np
                                  / args.ar)
-                 * np.sin(np.pi * np.asarray(grid.yc)), 0.0, 1.0)
+                 * np.sin(np.pi * grid.yc_np), 0.0, 1.0)
     T0[0, :], T0[-1, :] = 1.0, 0.0
 
     # ---- A. in-framework ML (AD energy step every step) ----

@@ -171,10 +171,10 @@ def main(argv=None):
         rs = np.random.default_rng(seed)
         amp = 0.04 + 0.02 * rs.random()
         kx = rs.integers(2, 5)
-        T0 = (1.0 - np.asarray(grid.yc)
-              + amp * np.cos(kx * np.pi * np.asarray(grid.xc)
+        T0 = (1.0 - grid.yc_np
+              + amp * np.cos(kx * np.pi * grid.xc_np
                              / grid.aspect)
-              * np.sin(np.pi * np.asarray(grid.yc)))
+              * np.sin(np.pi * grid.yc_np))
         T0[0, :], T0[-1, :] = 1.0, 0.0
         return jnp.asarray(np.clip(T0, 0, 1.35), dtype)[None]
 
@@ -224,7 +224,7 @@ def main(argv=None):
                                   np.float64),
             sim_id=np.asarray([all_sids[i] for i in sel], np.float64),
             times=np.zeros(len(sel)),
-            xc=np.asarray(grid.xc), yc=np.asarray(grid.yc))
+            xc=grid.xc_np, yc=grid.yc_np)
 
     # init/main split per sim (first 5 snapshots are the init stream,
     # select_snapshot_indices semantics); cv = every 8th main snapshot

@@ -126,7 +126,7 @@ def main(argv=None):
         paras=np.tile([params.raq, params.fkt, params.fkp], (n, 1)),
         step_index=np.arange(1, n + 1, dtype=np.float64),
         sim_id=np.zeros(n), times=np.zeros(n),
-        xc=np.asarray(grid.xc), yc=np.asarray(grid.yc))
+        xc=grid.xc_np, yc=grid.yc_np)
     ds = SnapshotDataset(store, scale=True, dtype=jnp.float64)
     model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, act_fn="gelu",
                         r_p="learned", loss_type="curl", repeats=2, f=5,
