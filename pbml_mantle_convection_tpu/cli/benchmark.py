@@ -186,7 +186,7 @@ def main(argv=None):
         from ..models.fast_path import FastNewFluidNet
         apply_fn = FastNewFluidNet(model, params, args.H, args.W)
     stepper = TimeStepper(grid=grid, params=pp, apply_fn=apply_fn,
-                          cn_max=0.99, dtype=dtype)
+                          net=args.network, cn_max=0.99, dtype=dtype)
     engine = SimEngine(grid=grid, params=pp, stepper=stepper, dtype=dtype)
     T0_1 = jnp.clip(1.0 - grid.yc + 0.05 * jnp.sin(6.28 * grid.xc),
                     0, 1).astype(dtype)
@@ -246,7 +246,11 @@ def main(argv=None):
     jax.block_until_ready(state.T)
     sps = args.steps / (time.perf_counter() - t0)
     suffix = f"_B{args.batch}" if args.batch > 1 else ""
-    out = {"metric": f"rollout_steps_per_s_{args.H}x{args.W}{suffix}",
+    # non-flagship nets (unet, …) get their own metric name so the
+    # headline newfluidnet figure stays comparable across rounds
+    net_tag = "" if args.network == "newfluidnet" else f"_{args.network}"
+    out = {"metric": f"rollout_steps_per_s{net_tag}_{args.H}x{args.W}"
+                     f"{suffix}",
            "value": round(sps, 2), "unit": "steps/s"}
     if args.batch > 1:
         # sim-steps/s: the throughput-deployment figure (B sims advance

@@ -55,6 +55,15 @@ class TrainConfig:
     debug: bool = False
     n_devices: Optional[int] = None  # None = single device
     seed: int = 0
+    # backpressure: max train-step dispatches in flight before the epoch
+    # loop blocks on the oldest one. Dispatch is async and the per-step
+    # losses accumulate on device, so an unthrottled loop enqueues steps
+    # as fast as the input pipeline produces them — each in-flight step
+    # pins its host batch buffer, and at HBM scale that grew ~12 MB/step
+    # until the store's page cache was evicted and the gather started
+    # thrashing disk (measured: 6x the store size read per epoch,
+    # PERF.md round-5 "end-to-end training epoch").
+    max_in_flight: int = 8
 
     @classmethod
     def schedule_for(cls, network: str,
@@ -247,6 +256,13 @@ class Trainer:
         # "end-to-end training epoch").
         acc = None
         n = 0
+        # bounded in-flight window (cfg.max_in_flight): blocking on the
+        # step K dispatches back keeps the device queue deep enough to
+        # overlap the input pipeline while releasing each consumed
+        # batch's host buffer — without it the loop enqueues without
+        # limit and pins every pending batch in host RAM
+        from collections import deque
+        window = deque()
         init_src = None
         if self.train_data_init is not None:
             init_src = (self.train_data_init,
@@ -270,6 +286,9 @@ class Trainer:
             br_vec = jnp.stack(list(br))
             acc = br_vec if acc is None else acc + br_vec
             n += 1
+            window.append(acc)
+            if len(window) > self.cfg.max_in_flight:
+                jax.block_until_ready(window.popleft())
         losses = ([float(x) for x in
                    np.asarray(jax.device_get(acc)) / n]
                   if n else [0.0] * 6)
@@ -281,6 +300,7 @@ class Trainer:
             init_src = (self.cv_data_init,
                         [self.cv_data_init.epoch_batches(
                             self.rng, self.small_batch)])
+        window.clear()
         for batch in self.cv_data.epoch_batches(self.rng, bs):
             batch = self._mix_init(batch, init_src)
             batch = self._maybe_shard(batch)
@@ -288,6 +308,9 @@ class Trainer:
             br_vec = jnp.stack(list(br))
             acc_cv = br_vec if acc_cv is None else acc_cv + br_vec
             n_cv += 1
+            window.append(acc_cv)
+            if len(window) > self.cfg.max_in_flight:
+                jax.block_until_ready(window.popleft())
         losses_cv = ([float(x) for x in
                       np.asarray(jax.device_get(acc_cv)) / n_cv]
                      if n_cv else [0.0] * 6)
