@@ -40,6 +40,12 @@ def build_parser():
     p.add_argument("--raw-module", action="store_true",
                    help="time the plain Flax apply instead of the "
                         "rollout-optimized executor")
+    p.add_argument("--donate", action="store_true",
+                   help="--what train: donate params/opt_state buffers "
+                        "to XLA (the epoch-loop calling convention)")
+    p.add_argument("--remat", action="store_true",
+                   help="--what train: rematerialize the forward in "
+                        "the backward (TrainStepConfig.remat)")
     p.add_argument("--sharded", action="store_true",
                    help="batch-sharded multi-sim rollout over ALL "
                         "available devices (one sim per chip, per-chip "
@@ -122,10 +128,10 @@ def main(argv=None):
         mesh = Mesh(devs, (DATA_AXIS,)) if devs.size > 1 else None
         cfg = TrainStepConfig(net=args.network, p_pred=False,
                               loss_scale=True, loss_derivative=True,
-                              loss_type="curl",
+                              loss_type="curl", remat=args.remat,
                               roll_forward=args.roll_forward)
         step = make_train_step(model.apply, optax.adam(1e-3), cfg,
-                               mesh=mesh)
+                               mesh=mesh, donate=args.donate)
         opt_state = optax.adam(1e-3).init(params)
         rs = np.random.default_rng(0)
         is_unet = args.network in ("unet", "iunet")
@@ -160,6 +166,8 @@ def main(argv=None):
         dt_wall = (time.perf_counter() - t0) / n
         rf = (f"_rf{args.roll_forward}" if args.roll_forward > 1
               else "")
+        rf += ("_donate" if args.donate else "") + \
+              ("_remat" if args.remat else "")
         print(json.dumps({
             "metric": f"train_step_{args.network}_{args.H}x{args.W}"
                       f"_B{B}{rf}",

@@ -167,6 +167,7 @@ def make_train_step(
     cfg: TrainStepConfig,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
+    donate: bool = False,
 ):
     """Build ``train_step(params, opt_state, batch) -> (params, opt_state,
     LossBreakdown)``. With ``mesh``, the step is a shard_map over the batch
@@ -176,6 +177,13 @@ def make_train_step(
     per-step PRNG key — and runs the model in training mode (dropout
     active, pytorch_networks_convae.py:795-799). Under the mesh the key is
     folded with the device index so each shard draws an independent mask.
+
+    ``donate=True`` donates the params/opt_state buffers to XLA (the
+    caller must rebind them to the returned values — the epoch-loop
+    pattern). Opt-in because a donated input is dead after the call;
+    library callers that hold onto ``params`` across steps (eval on the
+    same pytree, update-equivalence tests) must leave it off. On CPU
+    donation is ignored by XLA, so tests are unaffected either way.
     """
 
     loss_fn = make_loss_fn(apply_fn, cfg)
@@ -193,8 +201,9 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, br
 
+    dn = (0, 1) if donate else ()
     if mesh is None:
-        return jax.jit(_step)
+        return jax.jit(_step, donate_argnums=dn)
 
     rep = P()
     batch_spec = P(axis_name)
@@ -210,7 +219,7 @@ def make_train_step(
             in_specs=(rep, rep, batch_spec),
             out_specs=(rep, rep, rep),
         )
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=dn)
 
 
 def make_eval_step(apply_fn: Callable, cfg: TrainStepConfig,

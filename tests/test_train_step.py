@@ -305,3 +305,29 @@ def test_vit_field_train_step():
     step = make_train_step(model.apply, opt, cfg)
     params, _, br = step(params, opt.init(params), batch)
     assert np.isfinite(float(br.total))
+
+
+def test_train_step_donate_matches_undonated():
+    """donate=True (the epoch-loop calling convention) must produce the
+    same training trajectory as the default step. On CPU XLA ignores
+    donation, so this pins the argument path + calling convention; the
+    TPU-side effect is measured in PERF.md (round 5)."""
+    rng = np.random.default_rng(11)
+    model = NewFluidNet(levels=2, c_i=7, c_h=8, c_o=1, loss_type="curl",
+                        repeats=1, p_pred=False)
+    batch = _tiny_batch(rng, 4)
+    params = model.init(jax.random.PRNGKey(0), batch["x"])
+    opt = optax.adam(1e-3)
+    cfg = TrainStepConfig(net="newfluidnet", loss_type="curl")
+
+    p_ref, o_ref = params, opt.init(params)
+    step_ref = make_train_step(model.apply, opt, cfg)
+    p_don, o_don = params, opt.init(params)
+    step_don = make_train_step(model.apply, opt, cfg, donate=True)
+    for _ in range(3):
+        p_ref, o_ref, br_ref = step_ref(p_ref, o_ref, batch)
+        p_don, o_don, br_don = step_don(p_don, o_don, batch)
+    np.testing.assert_allclose(float(br_ref.total), float(br_don.total),
+                               rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_don)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

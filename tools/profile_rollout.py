@@ -1,6 +1,6 @@
 """Profile the coupled rollout on TPU and attribute device time to source.
 
-Usage:  python tools/profile_rollout.py [H W steps]
+Usage:  python tools/profile_rollout.py [H W steps] [--network unet]
 
 Captures a jax.profiler trace of `SimEngine.multi_step`, dumps the
 optimized HLO, joins trace op names to HLO source metadata, and prints a
@@ -23,24 +23,33 @@ import jax
 import jax.numpy as jnp
 
 
-def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace"):
+def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace",
+         network="newfluidnet"):
     from pbml_mantle_convection_tpu.constants import SimParams
-    from pbml_mantle_convection_tpu.models import NewFluidNet
+    from pbml_mantle_convection_tpu.models.registry import (
+        ModelConfig, build_model)
     from pbml_mantle_convection_tpu.models.fast_path import FastNewFluidNet
     from pbml_mantle_convection_tpu.sim.engine import SimEngine
     from pbml_mantle_convection_tpu.sim.grid import Grid
     from pbml_mantle_convection_tpu.sim.stepper import TimeStepper
 
+    from pbml_mantle_convection_tpu.utils.jit import enable_compilation_cache
+    enable_compilation_cache()
     grid = Grid(H=H, W=W, aspect=(W - 2) / (H - 2), dtype="float32")
     pp = SimParams(3.0, 1e8, 10.0)
-    model = NewFluidNet(levels=5, c_i=7, c_h=16, c_o=1, act_fn="gelu",
-                        r_p="learned", loss_type="curl", repeats=6, f=5,
-                        p_pred=False, dtype=jnp.float32)
+    mc = ModelConfig(network=network, levels=5, c_h=16, repeats=6,
+                     kernel=5, r_p="learned", loss_type="curl",
+                     p_pred=False, H=H, W=W, dtype=jnp.float32)
+    model = build_model(mc)
+    c_i, _ = mc.channels
     w = model.init(jax.random.PRNGKey(0),
-                   jnp.zeros((1, H, W, 7), jnp.float32))
-    fast = FastNewFluidNet(model, w, H, W, f=4)
-    stepper = TimeStepper(grid=grid, params=pp, apply_fn=fast,
-                          cn_max=0.99, dtype=jnp.float32)
+                   jnp.zeros((1, H, W, c_i), jnp.float32))
+    if network == "newfluidnet":
+        apply_fn = FastNewFluidNet(model, w, H, W, f=4)
+    else:
+        apply_fn = lambda xx: model.apply(w, xx)
+    stepper = TimeStepper(grid=grid, params=pp, apply_fn=apply_fn,
+                          net=network, cn_max=0.99, dtype=jnp.float32)
     eng = SimEngine(grid=grid, params=pp, stepper=stepper,
                     dtype=jnp.float32)
     T0 = jnp.clip(1.0 - grid.yc, 0, 1).astype(jnp.float32)[None]
@@ -104,5 +113,11 @@ def main(H=256, W=256, steps=20, trace_dir="/tmp/pmc_trace"):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:4]]
-    main(*args)
+    argv = sys.argv[1:]
+    network = "newfluidnet"
+    if "--network" in argv:
+        i = argv.index("--network")
+        network = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [int(a) for a in argv[:3]]
+    main(*args, network=network)
